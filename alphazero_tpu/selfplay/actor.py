@@ -1,0 +1,150 @@
+"""Batched self-play actor: the fused env+search+net hot loop.
+
+TPU-native replacement for the reference self-play stack —
+``SelfPlayManager::generateGames``/``playSingleGame``
+(``src/selfplay/self_play_manager.cpp:47-234``), the ``selfplay`` binary
+(``src/selfplay/selfplay_main.cpp``), and the multi-process scale-out of
+``python/scripts/orchestrate_selfplay.py:303-400``.
+
+Where the reference runs one OS thread per game feeding a leaf-batching
+queue, here B games are a batch axis of one jitted program: every move is a
+full batched MCTS (see mcts/search.py) followed by one lockstep env step.
+Game-level, search-level and leaf-batch parallelism all collapse into the
+same array dimension (SURVEY.md §2.8).  Scale-out across chips/hosts is the
+mesh data axis, not processes.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from alphazero_tpu.mcts.search import EvalFn, MCTSConfig, search, select_action
+
+
+@dataclasses.dataclass(frozen=True)
+class SelfPlayConfig:
+    """Reference analog: SelfPlayManager settings (self_play_manager.h) —
+    temperature 1.0 until move ``temperature_drop_move`` then 0.0
+    (self_play_manager.cpp:236-239)."""
+
+    mcts: MCTSConfig = MCTSConfig()
+    max_moves: int = 226  # >= board cells + 1 for gomoku 15x15
+    temperature: float = 1.0
+    final_temperature: float = 0.0
+    temperature_drop_move: int = 30
+
+
+class MoveRecord(NamedTuple):
+    """Per-move data across the batch (the array analog of the reference
+    ``MoveData``: action, full-action-space policy, root value —
+    game_record.h:21-122; full-action-space pi deliberately fixes the
+    reference's children-indexed policy quirk, SURVEY.md §2.5)."""
+
+    action: jax.Array  # i32 [B]
+    policy: jax.Array  # f32 [B, A] normalized visit distribution
+    root_value: jax.Array  # f32 [B]
+    to_play: jax.Array  # i32 [B] player who chose the move
+    active: jax.Array  # bool [B] game was live when the move was made
+
+
+class SelfPlayOutput(NamedTuple):
+    states: Any  # final env states (B-batched)
+    actions: jax.Array  # i32 [T, B]
+    policies: jax.Array  # f32 [T, B, A]
+    root_values: jax.Array  # f32 [T, B]
+    to_play: jax.Array  # i32 [T, B]
+    active: jax.Array  # bool [T, B]
+    winner: jax.Array  # i32 [B] -1 draw/unfinished, 0, 1
+    length: jax.Array  # i32 [B] moves actually played
+
+
+def _batched_init(env, batch_size: int):
+    return jax.vmap(lambda _: env.init())(jnp.arange(batch_size))
+
+
+def move_once(env, eval_fn: EvalFn, states, rng, config: SelfPlayConfig):
+    """One move for every live game: search -> temperature select -> step."""
+    search_rng, act_rng = jax.random.split(rng)
+    out = search(env, eval_fn, states, search_rng, config.mcts)
+    move_count = states.move_count
+    temp = jnp.where(
+        move_count < config.temperature_drop_move,
+        config.temperature,
+        config.final_temperature,
+    ).astype(jnp.float32)
+    action = select_action(act_rng, out.visit_counts, temp)
+    active = ~jax.vmap(env.terminal_flag)(states)
+    record = MoveRecord(
+        action=action,
+        policy=out.action_weights,
+        root_value=out.root_value,
+        to_play=jax.vmap(env.to_play)(states),
+        active=active,
+    )
+    new_states = jax.vmap(env.step)(states, action)
+    return new_states, record
+
+
+def play_games(
+    env,
+    eval_fn: EvalFn,
+    rng: jax.Array,
+    config: SelfPlayConfig,
+    batch_size: int,
+    initial_states=None,
+) -> SelfPlayOutput:
+    """Play a batch of games to completion (or ``max_moves``).  Jittable;
+    ``env``, ``config`` and ``batch_size`` are static."""
+    states = (
+        initial_states
+        if initial_states is not None
+        else _batched_init(env, batch_size)
+    )
+
+    def body(carry, step_rng):
+        st, = carry
+        st, rec = move_once(env, eval_fn, st, step_rng, config)
+        return (st,), rec
+
+    step_rngs = jax.random.split(rng, config.max_moves)
+    (states,), recs = jax.lax.scan(body, (states,), step_rngs)
+
+    winner = jax.vmap(env.winner)(states)
+    length = jnp.sum(recs.active, axis=0).astype(jnp.int32)
+    return SelfPlayOutput(
+        states=states,
+        actions=recs.action,
+        policies=recs.policy,
+        root_values=recs.root_value,
+        to_play=recs.to_play,
+        active=recs.active,
+        winner=winner,
+        length=length,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("env", "config", "batch_size")
+)
+def play_games_jit(env, params_eval_fn, rng, config, batch_size):
+    raise NotImplementedError(
+        "jit play_games through a closure: jax.jit(lambda s, r: "
+        "play_games(env, eval_fn, r, config, batch_size))"
+    )
+
+
+def value_targets(output: SelfPlayOutput) -> jax.Array:
+    """z targets [T, B]: final result from the perspective of the player to
+    move at each recorded position (+1 they won, -1 lost, 0 draw) — the
+    reference Dataset's value target (src/selfplay/dataset.cpp:86-97)."""
+    winner = output.winner[None, :]  # [1, B]
+    tp = output.to_play
+    return jnp.where(
+        winner < 0,
+        0.0,
+        jnp.where(winner == tp, 1.0, -1.0),
+    ).astype(jnp.float32)

@@ -1,0 +1,134 @@
+"""Game records: host-side JSON serialization of finished games.
+
+Keeps the reference ``GameRecord``/``MoveData`` JSON schema
+(``include/alphazero/selfplay/game_record.h:21-122``,
+``src/selfplay/game_record.cpp``) so records interoperate with reference
+tooling: fields ``game_type, board_size, use_variant_rules,
+moves[{action, policy[], value, thinking_time_ms}], result, timestamp``.
+
+One deliberate fix vs the reference (SURVEY.md §2.5 quirk): stored policies
+are always full-action-space visit distributions (zeros on illegal moves),
+not children-indexed vectors.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from alphazero_tpu.core.types import GameResult, GameType
+
+
+@dataclasses.dataclass
+class MoveData:
+    action: int
+    policy: List[float]
+    value: float
+    thinking_time_ms: int = 0
+
+    def to_json(self):
+        return {
+            "action": int(self.action),
+            "policy": [float(p) for p in self.policy],
+            "value": float(self.value),
+            "thinking_time_ms": int(self.thinking_time_ms),
+        }
+
+    @classmethod
+    def from_json(cls, d):
+        return cls(
+            action=int(d["action"]),
+            policy=[float(p) for p in d.get("policy", [])],
+            value=float(d.get("value", 0.0)),
+            thinking_time_ms=int(d.get("thinking_time_ms", 0)),
+        )
+
+
+@dataclasses.dataclass
+class GameRecord:
+    game_type: GameType
+    board_size: int
+    use_variant_rules: bool = False
+    moves: List[MoveData] = dataclasses.field(default_factory=list)
+    result: GameResult = GameResult.ONGOING
+    timestamp: Optional[str] = None
+
+    def add_move(self, action, policy, value, thinking_time_ms=0):
+        self.moves.append(
+            MoveData(int(action), list(np.asarray(policy, dtype=float)),
+                     float(value), int(thinking_time_ms))
+        )
+
+    def set_result(self, result: GameResult):
+        self.result = GameResult(result)
+
+    def to_json(self) -> dict:
+        return {
+            "game_type": int(self.game_type),
+            "board_size": int(self.board_size),
+            "use_variant_rules": bool(self.use_variant_rules),
+            "moves": [m.to_json() for m in self.moves],
+            "result": int(self.result),
+            "timestamp": self.timestamp
+            or time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "GameRecord":
+        rec = cls(
+            game_type=GameType(d["game_type"]),
+            board_size=int(d["board_size"]),
+            use_variant_rules=bool(d.get("use_variant_rules", False)),
+            result=GameResult(d.get("result", 0)),
+            timestamp=d.get("timestamp"),
+        )
+        rec.moves = [MoveData.from_json(m) for m in d.get("moves", [])]
+        return rec
+
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.to_json(), f)
+
+    @classmethod
+    def load(cls, path: str) -> "GameRecord":
+        with open(path) as f:
+            return cls.from_json(json.load(f))
+
+
+def records_from_selfplay(env, output, max_games: Optional[int] = None,
+                          use_variant_rules: bool = False) -> List[GameRecord]:
+    """Convert a device SelfPlayOutput (selfplay/actor.py) into host
+    GameRecords.  Policies/values come straight from the recorded arrays;
+    result from the final winner."""
+    actions = np.asarray(output.actions)  # [T, B]
+    policies = np.asarray(output.policies)
+    values = np.asarray(output.root_values)
+    active = np.asarray(output.active)
+    winner = np.asarray(output.winner)
+    T, B = actions.shape
+    n_games = B if max_games is None else min(B, max_games)
+
+    records = []
+    for b in range(n_games):
+        rec = GameRecord(
+            game_type=env.game_type,
+            board_size=env.board_size,
+            use_variant_rules=use_variant_rules,
+        )
+        for t in range(T):
+            if not active[t, b]:
+                break
+            rec.add_move(actions[t, b], policies[t, b], values[t, b])
+        if winner[b] == 0:
+            rec.set_result(GameResult.WIN_PLAYER1)
+        elif winner[b] == 1:
+            rec.set_result(GameResult.WIN_PLAYER2)
+        else:
+            rec.set_result(GameResult.DRAW)
+        records.append(rec)
+    return records

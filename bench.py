@@ -1,0 +1,88 @@
+"""Self-play throughput benchmark (the north-star metric).
+
+Measures moves/s/chip on Gomoku 15x15 with 800-simulation MCTS — the
+reference's stock demo configuration (``data/games/proc_0/selfplay.log:1-16``:
+800 sims, batch 8, FP16, 18 threads; its selfplay binary prints moves/sec,
+``src/selfplay/selfplay_main.cpp:128-154``).  Baseline: the reference PRD
+targets >=50 Gomoku games/min at ~40-50 moves/game => ~40 moves/s on
+8 CPU threads + 1 GPU (BASELINE.md).  vs_baseline is measured against that
+40 moves/s figure.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_MOVES_PER_S = 40.0
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    sims = int(os.environ.get("BENCH_SIMS", "800"))
+    moves = int(os.environ.get("BENCH_MOVES", "16"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from alphazero_tpu.games.gomoku import GomokuEnv
+    from alphazero_tpu.mcts.search import MCTSConfig
+    from alphazero_tpu.models.resnet import AZResNet, ResNetConfig
+    from alphazero_tpu.selfplay.actor import SelfPlayConfig, move_once
+
+    env = GomokuEnv(board_size=15)
+    model = AZResNet(num_actions=env.num_actions, cfg=ResNetConfig())
+    rng = jax.random.key(0)
+    params = model.init(
+        rng, jnp.zeros((1,) + env.observation_shape, jnp.float32)
+    )
+
+    def eval_fn(obs):
+        return model.apply(params, obs)
+
+    config = SelfPlayConfig(
+        mcts=MCTSConfig(num_simulations=sims), max_moves=moves
+    )
+
+    @jax.jit
+    def step(states, r):
+        return move_once(env, eval_fn, states, r, config)
+
+    states = jax.vmap(lambda _: env.init())(jnp.arange(batch))
+
+    # Warmup/compile.
+    t0 = time.perf_counter()
+    states, rec = step(states, jax.random.key(1))
+    jax.block_until_ready(rec.action)
+    compile_s = time.perf_counter() - t0
+
+    # Timed run.
+    done_moves = 0
+    t0 = time.perf_counter()
+    for i in range(moves):
+        states, rec = step(states, jax.random.key(2 + i))
+        done_moves += int(jnp.sum(rec.active))
+    jax.block_until_ready(rec.action)
+    elapsed = time.perf_counter() - t0
+
+    moves_per_s = done_moves / elapsed
+    result = {
+        "metric": "selfplay_moves_per_s_per_chip_gomoku15_800sims",
+        "value": round(moves_per_s, 2),
+        "unit": "moves/s",
+        "vs_baseline": round(moves_per_s / BASELINE_MOVES_PER_S, 2),
+    }
+    print(json.dumps(result))
+    print(
+        f"# batch={batch} sims={sims} timed_moves={moves} "
+        f"elapsed={elapsed:.1f}s compile={compile_s:.1f}s "
+        f"sims/s={batch * sims * moves / elapsed:,.0f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,189 @@
+"""Batched MCTS tests against the uniform stub evaluator.
+
+Mirrors the reference strategy of running search vs RandomPolicyNetwork
+(tests/mcts/parallel_mcts_test.cpp:17, SURVEY.md §4).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_tpu.games.gomoku import GomokuEnv
+from alphazero_tpu.mcts.search import (
+    MCTSConfig,
+    search,
+    select_action,
+    masked_softmax,
+)
+from alphazero_tpu.models.stub import make_uniform_eval_fn
+
+ENV = GomokuEnv(board_size=7)
+A = ENV.num_actions
+
+
+@functools.lru_cache(maxsize=None)
+def jsearch(env, config):
+    eval_fn = make_uniform_eval_fn(env.num_actions)
+
+    @jax.jit
+    def run(states, rng):
+        return search(env, eval_fn, states, rng, config)
+
+    return run
+
+
+def batch_init(env, B):
+    return jax.vmap(lambda _: env.init())(jnp.arange(B))
+
+
+def batch_play(env, states, actions):
+    return jax.vmap(env.step)(states, jnp.asarray(actions))
+
+
+class TestSearchBasics:
+    def test_visit_budget(self):
+        cfg = MCTSConfig(num_simulations=50, dirichlet_epsilon=0.0)
+        out = jsearch(ENV, cfg)(batch_init(ENV, 2), jax.random.key(0))
+        # Root visited once at init + once per simulation.
+        np.testing.assert_array_equal(out.tree.visits[:, 0], 51)
+        # Child visits sum to the number of simulations.
+        np.testing.assert_array_equal(out.visit_counts.sum(-1), 50)
+
+    def test_weights_normalized_and_legal(self):
+        cfg = MCTSConfig(num_simulations=64, dirichlet_epsilon=0.0)
+        B = 3
+        states = batch_init(ENV, B)
+        states = batch_play(ENV, states, [0, 1, 2])
+        out = jsearch(ENV, cfg)(states, jax.random.key(1))
+        np.testing.assert_allclose(out.action_weights.sum(-1), 1.0, rtol=1e-5)
+        legal = jax.vmap(ENV.legal_mask)(states)
+        assert not bool(jnp.any(out.visit_counts[~legal] > 0))
+
+    def test_finds_immediate_win(self):
+        # Black has 4 in a row with an open end; search must pick the win.
+        n = 7
+        env = ENV
+        states = batch_init(env, 1)
+        # black (0,0..3), white scattered row 6.
+        for i in range(4):
+            states = batch_play(env, states, [i])  # black at 0..3
+            states = batch_play(env, states, [6 * n + i + 1])  # white row 6
+        cfg = MCTSConfig(num_simulations=100, dirichlet_epsilon=0.0)
+        out = jsearch(env, cfg)(states, jax.random.key(2))
+        best = int(jnp.argmax(out.visit_counts[0]))
+        assert best == 4  # completes 5-in-a-row at (0,4)
+
+    def test_avoids_immediate_loss(self):
+        # White to move; black threatens five at (0,4); white must block.
+        n = 7
+        env = ENV
+        states = batch_init(env, 1)
+        for i in range(4):
+            states = batch_play(env, states, [i])
+            if i < 3:
+                states = batch_play(env, states, [6 * n + i + 1])
+        # Now white to move, black has 0..3 on row 0.
+        cfg = MCTSConfig(num_simulations=150, dirichlet_epsilon=0.0)
+        out = jsearch(env, cfg)(states, jax.random.key(3))
+        best = int(jnp.argmax(out.visit_counts[0]))
+        assert best == 4  # block at (0,4)
+
+    def test_terminal_root(self):
+        n = 7
+        env = ENV
+        states = batch_init(env, 1)
+        for i in range(4):
+            states = batch_play(env, states, [i])
+            states = batch_play(env, states, [6 * n + i + 1])
+        states = batch_play(env, states, [4])  # black wins
+        assert bool(states.terminal[0])
+        cfg = MCTSConfig(num_simulations=10, dirichlet_epsilon=0.0)
+        out = jsearch(env, cfg)(states, jax.random.key(4))
+        # No children expandable; all sims revisit the terminal root.
+        assert int(out.visit_counts.sum()) == 0
+        # Root value = terminal value from the loser's perspective = -1.
+        np.testing.assert_allclose(out.root_value[0], -1.0, atol=1e-6)
+
+    def test_determinism(self):
+        cfg = MCTSConfig(num_simulations=40, dirichlet_epsilon=0.0)
+        s = batch_init(ENV, 2)
+        o1 = jsearch(ENV, cfg)(s, jax.random.key(7))
+        o2 = jsearch(ENV, cfg)(s, jax.random.key(7))
+        np.testing.assert_array_equal(o1.visit_counts, o2.visit_counts)
+
+    def test_dirichlet_noise_changes_with_seed(self):
+        cfg = MCTSConfig(num_simulations=40, dirichlet_epsilon=0.5,
+                         dirichlet_alpha=0.5)
+        s = batch_init(ENV, 1)
+        o1 = jsearch(ENV, cfg)(s, jax.random.key(0))
+        o2 = jsearch(ENV, cfg)(s, jax.random.key(123))
+        assert not np.array_equal(
+            np.asarray(o1.visit_counts), np.asarray(o2.visit_counts)
+        )
+
+    def test_batch_independence(self):
+        """Search on a batch of identical positions gives identical stats."""
+        cfg = MCTSConfig(num_simulations=30, dirichlet_epsilon=0.0)
+        s = batch_init(ENV, 4)
+        out = jsearch(ENV, cfg)(s, jax.random.key(5))
+        counts = np.asarray(out.visit_counts)
+        for i in range(1, 4):
+            np.testing.assert_array_equal(counts[0], counts[i])
+
+
+class TestBackupValues:
+    def test_value_sign_propagation(self):
+        """With a child that is a win for the mover, root Q must go up."""
+        n = 7
+        env = ENV
+        states = batch_init(env, 1)
+        for i in range(4):
+            states = batch_play(env, states, [i])
+            states = batch_play(env, states, [6 * n + i + 1])
+        cfg = MCTSConfig(num_simulations=200, dirichlet_epsilon=0.0)
+        out = jsearch(env, cfg)(states, jax.random.key(6))
+        # Black to move with a winning move available: root value ~ +1.
+        assert float(out.root_value[0]) > 0.5
+
+
+class TestSelectAction:
+    def test_greedy(self):
+        counts = jnp.asarray([[1, 5, 3], [9, 2, 0]], jnp.int32)
+        a = select_action(jax.random.key(0), counts, jnp.float32(0.0))
+        np.testing.assert_array_equal(a, [1, 0])
+
+    def test_sampling_distribution(self):
+        counts = jnp.asarray([[0, 1, 9]], jnp.int32)
+        keys = jax.random.split(jax.random.key(0), 200)
+        acts = jax.vmap(
+            lambda k: select_action(k, counts, jnp.float32(1.0))[0]
+        )(keys)
+        acts = np.asarray(acts)
+        assert (acts == 0).sum() == 0  # zero-visit action never sampled
+        assert (acts == 2).sum() > (acts == 1).sum()
+
+    def test_high_temperature_flattens(self):
+        counts = jnp.asarray([[1, 1000]], jnp.int32)
+        keys = jax.random.split(jax.random.key(1), 300)
+        acts = jax.vmap(
+            lambda k: select_action(k, counts, jnp.float32(10.0))[0]
+        )(keys)
+        # At T=10 the 1000:1 ratio flattens to ~2:1; action 0 appears often.
+        assert (np.asarray(acts) == 0).sum() > 30
+
+
+class TestMaskedSoftmax:
+    def test_masks_and_normalizes(self):
+        logits = jnp.asarray([[0.0, 1.0, 2.0, 3.0]])
+        legal = jnp.asarray([[True, False, True, False]])
+        p = masked_softmax(logits, legal)
+        np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-6)
+        assert float(p[0, 1]) == 0.0 and float(p[0, 3]) == 0.0
+        assert float(p[0, 2]) > float(p[0, 0])
+
+    def test_all_illegal_uniform_fallback(self):
+        logits = jnp.zeros((1, 4))
+        legal = jnp.zeros((1, 4), bool)
+        p = masked_softmax(logits, legal)
+        assert not bool(jnp.any(jnp.isnan(p)))
