@@ -1,0 +1,88 @@
+"""Arena: batched model-vs-model evaluation.
+
+TPU-native counterpart of the reference evaluation drivers
+(``python/scripts/evaluate.py`` — model-A vs model-B matches with color
+swap; ``python/scripts/tournament.py`` round-robin).  Where the reference
+alternates two ``ParallelMCTS`` instances per game thread, here both sides
+play inside ONE batched search: the evaluator routes every leaf position to
+the parameter set of the side to move, and the color assignment is a batch
+axis (first half A=black, second half A=white — built-in color swap).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from alphazero_tpu.mcts.search import EvalFn, MCTSConfig, search, select_action
+
+
+def make_matchup_eval_fn(eval_a: EvalFn, eval_b: EvalFn,
+                         a_is_black: jax.Array) -> EvalFn:
+    """Route each lane's evaluation to A or B depending on which side is to
+    move.  ``a_is_black``: bool [B]."""
+
+    def eval_fn(obs, to_play):
+        la, va = eval_a(obs, to_play)
+        lb, vb = eval_b(obs, to_play)
+        use_a = a_is_black == (to_play == 0)
+        logits = jnp.where(use_a[:, None], la, lb)
+        value = jnp.where(use_a, va, vb)
+        return logits, value
+
+    return eval_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class ArenaConfig:
+    mcts: MCTSConfig = MCTSConfig(
+        num_simulations=200, dirichlet_epsilon=0.0
+    )
+    max_moves: int = 226
+    temperature: float = 0.1  # reference evaluate.py plays at T=0.1
+
+
+class ArenaResult(NamedTuple):
+    wins_a: jax.Array  # i32 scalar
+    wins_b: jax.Array
+    draws: jax.Array
+    a_is_black: jax.Array  # bool [B]
+    winner: jax.Array  # i32 [B]
+
+
+def play_match(
+    env,
+    eval_a: EvalFn,
+    eval_b: EvalFn,
+    rng: jax.Array,
+    config: ArenaConfig,
+    num_games: int,
+) -> ArenaResult:
+    """Play ``num_games`` games (half with A as black).  Jittable."""
+    B = num_games
+    a_is_black = jnp.arange(B) < (B + 1) // 2
+    eval_fn = make_matchup_eval_fn(eval_a, eval_b, a_is_black)
+
+    states = jax.vmap(lambda _: env.init())(jnp.arange(B))
+
+    def body(carry, step_rng):
+        st = carry
+        s_rng, a_rng = jax.random.split(step_rng)
+        out = search(env, eval_fn, st, s_rng, config.mcts)
+        action = select_action(
+            a_rng, out.visit_counts, jnp.float32(config.temperature)
+        )
+        return jax.vmap(env.step)(st, action), ()
+
+    step_rngs = jax.random.split(rng, config.max_moves)
+    states, _ = jax.lax.scan(body, states, step_rngs)
+
+    winner = jax.vmap(env.winner)(states)  # -1 draw/unfinished, 0 black, 1 w
+    a_won = (winner == 0) == a_is_black
+    decided = winner >= 0
+    wins_a = jnp.sum(decided & a_won).astype(jnp.int32)
+    wins_b = jnp.sum(decided & ~a_won).astype(jnp.int32)
+    draws = jnp.sum(~decided).astype(jnp.int32)
+    return ArenaResult(wins_a, wins_b, draws, a_is_black, winner)

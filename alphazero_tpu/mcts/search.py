@@ -32,8 +32,10 @@ from flax import struct
 
 from alphazero_tpu.core.types import terminal_value
 
-# eval_fn: (obs [B, C, H, W]) -> (policy_logits [B, A], value [B])
-EvalFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
+# eval_fn: (obs [B, C, H, W], to_play [B] i32) -> (logits [B, A], value [B])
+# Plain evaluators ignore to_play; arena evaluators use it to route each
+# position to the parameter set playing that side (eval/arena.py).
+EvalFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
 
 UNVISITED = jnp.int32(-1)
 ROOT = jnp.int32(0)
@@ -271,12 +273,12 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
     child_state = jax.vmap(env.step)(leaf_state, action)
 
     obs = jax.vmap(env.observation)(child_state)
-    logits, value = eval_fn(obs)
+    child_to_play = jax.vmap(env.to_play)(child_state)
+    logits, value = eval_fn(obs, child_to_play)
     legal = jax.vmap(env.legal_mask)(child_state)
     prior = masked_softmax(logits, legal)
 
     child_term = jax.vmap(env.terminal_flag)(child_state)
-    child_to_play = jax.vmap(env.to_play)(child_state)
     child_winner = jax.vmap(env.winner)(child_state)
     child_tval = terminal_value(child_winner, child_to_play)
 
@@ -333,7 +335,7 @@ def search(
     roots.  Fully jittable; the env and config are static."""
     noise_rng, _ = jax.random.split(rng)
     obs = jax.vmap(env.observation)(root_states)
-    logits, value = eval_fn(obs)
+    logits, value = eval_fn(obs, jax.vmap(env.to_play)(root_states))
     tree = instantiate_tree(env, root_states, logits, value, config, noise_rng)
 
     def body(t, sim):

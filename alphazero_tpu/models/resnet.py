@@ -126,7 +126,7 @@ class AZResNet(nn.Module):
 def make_eval_fn(model: nn.Module, params):
     """Close params over the model into the MCTS EvalFn signature."""
 
-    def eval_fn(obs):
+    def eval_fn(obs, to_play=None):
         return model.apply(params, obs)
 
     return eval_fn

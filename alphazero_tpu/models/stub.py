@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 
-def uniform_eval_fn(obs: jax.Array):
+def uniform_eval_fn(obs: jax.Array, to_play=None):
     """(obs [B, C, H, W]) -> zero logits over H*W... callers needing a
     different action count should use make_uniform_eval_fn."""
     B = obs.shape[0]
@@ -21,7 +21,7 @@ def uniform_eval_fn(obs: jax.Array):
 
 
 def make_uniform_eval_fn(num_actions: int, value_noise: float = 0.0):
-    def eval_fn(obs):
+    def eval_fn(obs, to_play=None):
         B = obs.shape[0]
         logits = jnp.zeros((B, num_actions), jnp.float32)
         if value_noise > 0.0:

@@ -49,6 +49,7 @@ class MoveRecord(NamedTuple):
     root_value: jax.Array  # f32 [B]
     to_play: jax.Array  # i32 [B] player who chose the move
     active: jax.Array  # bool [B] game was live when the move was made
+    states: Any  # pre-move env states (None unless record_states)
 
 
 class SelfPlayOutput(NamedTuple):
@@ -60,13 +61,15 @@ class SelfPlayOutput(NamedTuple):
     active: jax.Array  # bool [T, B]
     winner: jax.Array  # i32 [B] -1 draw/unfinished, 0, 1
     length: jax.Array  # i32 [B] moves actually played
+    move_states: Any  # pre-move env states [T, B, ...] (None unless recorded)
 
 
 def _batched_init(env, batch_size: int):
     return jax.vmap(lambda _: env.init())(jnp.arange(batch_size))
 
 
-def move_once(env, eval_fn: EvalFn, states, rng, config: SelfPlayConfig):
+def move_once(env, eval_fn: EvalFn, states, rng, config: SelfPlayConfig,
+              record_states: bool = False):
     """One move for every live game: search -> temperature select -> step."""
     search_rng, act_rng = jax.random.split(rng)
     out = search(env, eval_fn, states, search_rng, config.mcts)
@@ -84,6 +87,7 @@ def move_once(env, eval_fn: EvalFn, states, rng, config: SelfPlayConfig):
         root_value=out.root_value,
         to_play=jax.vmap(env.to_play)(states),
         active=active,
+        states=states if record_states else None,
     )
     new_states = jax.vmap(env.step)(states, action)
     return new_states, record
@@ -96,9 +100,10 @@ def play_games(
     config: SelfPlayConfig,
     batch_size: int,
     initial_states=None,
+    record_states: bool = False,
 ) -> SelfPlayOutput:
     """Play a batch of games to completion (or ``max_moves``).  Jittable;
-    ``env``, ``config`` and ``batch_size`` are static."""
+    ``env``, ``config``, ``batch_size``, ``record_states`` are static."""
     states = (
         initial_states
         if initial_states is not None
@@ -107,7 +112,7 @@ def play_games(
 
     def body(carry, step_rng):
         st, = carry
-        st, rec = move_once(env, eval_fn, st, step_rng, config)
+        st, rec = move_once(env, eval_fn, st, step_rng, config, record_states)
         return (st,), rec
 
     step_rngs = jax.random.split(rng, config.max_moves)
@@ -124,16 +129,7 @@ def play_games(
         active=recs.active,
         winner=winner,
         length=length,
-    )
-
-
-@functools.partial(
-    jax.jit, static_argnames=("env", "config", "batch_size")
-)
-def play_games_jit(env, params_eval_fn, rng, config, batch_size):
-    raise NotImplementedError(
-        "jit play_games through a closure: jax.jit(lambda s, r: "
-        "play_games(env, eval_fn, r, config, batch_size))"
+        move_states=recs.states,
     )
 
 

@@ -1,0 +1,280 @@
+"""End-to-end AlphaZero training pipeline: actor -> replay -> learner.
+
+TPU-native counterpart of the reference training orchestration
+(``python/alphazero/training/train.py:main`` + ``prepare_dataset`` +
+``python/scripts/orchestrate_selfplay.py``): self-play generation, dataset
+extraction with augmentation, the epoch loop, checkpointing and history.
+Here every phase is a jitted device program over the mesh data axis and
+weights flow actor<->learner by reference (no TorchScript export, no
+filesystem JSON hop, SURVEY.md §3.1/§3.2 boundaries collapse).
+
+Checkpointing (reference: torch.save per-epoch/best/--resume,
+train.py:517-536) is orbax: params + optimizer state + step + rng, with
+optional replay-buffer inclusion — more state than the reference persists
+(SURVEY.md §5 flags the reference's missing optimizer/replay checkpointing).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_tpu.core import registry
+from alphazero_tpu.mcts.search import MCTSConfig
+from alphazero_tpu.models.resnet import AZResNet, ResNetConfig
+from alphazero_tpu.parallel import mesh as meshlib
+from alphazero_tpu.selfplay.actor import (
+    SelfPlayConfig,
+    play_games,
+    value_targets,
+)
+from alphazero_tpu.training import replay
+from alphazero_tpu.training.learner import (
+    LearnerConfig,
+    TrainState,
+    create_train_state,
+    train_step,
+)
+
+log = logging.getLogger("alphazero_tpu.pipeline")
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    game: str = "gomoku"
+    board_size: int = 15
+    game_options: tuple = ()  # sorted (key, value) pairs for the env ctor
+
+    model: ResNetConfig = ResNetConfig()
+    selfplay: SelfPlayConfig = SelfPlayConfig()
+    learner: LearnerConfig = LearnerConfig()
+
+    iterations: int = 100
+    games_per_iteration: int = 256  # actor batch per iteration
+    train_steps_per_iteration: int = 64
+    train_batch_size: int = 1024
+    replay_capacity: int = 500_000
+    min_replay_before_training: int = 10_000
+    augment: bool = True
+
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every: int = 5
+    checkpoint_replay: bool = False
+    seed: int = 0
+
+
+class Pipeline:
+    """Single-program actor/learner alternation.  On a multi-device mesh the
+    game batch and the training batch shard over ``data``; params replicate."""
+
+    def __init__(self, config: PipelineConfig, mesh=None):
+        self.config = config
+        self.env = registry.create_game(
+            config.game, config.board_size, **dict(config.game_options)
+        )
+        self.mesh = mesh if mesh is not None else meshlib.make_mesh()
+        self.model = AZResNet(
+            num_actions=self.env.num_actions, cfg=config.model
+        )
+        self.rng = jax.random.key(config.seed)
+
+        self.state, self.tx = create_train_state(
+            self.model, self._next_rng(), self.env.observation_shape,
+            config.learner,
+        )
+        self.state = meshlib.replicate(self.mesh, self.state)
+        self.buffer = replay.create(
+            self.env, config.replay_capacity, self.env.num_actions
+        )
+        self.history: List[Dict] = []
+        self._build_jits()
+
+    # ---- internals -------------------------------------------------------
+
+    def _next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    def _build_jits(self):
+        env, cfg, model = self.env, self.config, self.model
+        repl = meshlib.replicated(self.mesh)
+        dsh = meshlib.data_sharding(self.mesh)
+
+        def actor_fn(params, rng):
+            def eval_fn(obs, to_play=None):
+                return model.apply(params, obs)
+
+            return play_games(
+                env, eval_fn, rng, cfg.selfplay,
+                batch_size=cfg.games_per_iteration, record_states=True,
+            )
+
+        self._actor = jax.jit(actor_fn)
+
+        def ingest_fn(buffer, out):
+            """Flatten [T, B] move records into the replay ring."""
+            z = value_targets(out)  # [T, B]
+            T, B = z.shape
+            flat = lambda x: x.reshape((T * B,) + x.shape[2:])
+            states = jax.tree_util.tree_map(flat, out.move_states)
+            return replay.add(
+                buffer, states, flat(out.policies), flat(z), flat(out.active)
+            )
+
+        self._ingest = jax.jit(ingest_fn)
+
+        def train_fn(state, buffer, rng):
+            def one(carry, step_rng):
+                st = carry
+                batch = replay.sample(
+                    buffer, env, step_rng, cfg.train_batch_size,
+                    augment_symmetries=cfg.augment,
+                )
+                st, metrics = train_step(st, batch, model, self.tx,
+                                         cfg.learner)
+                return st, metrics
+
+            rngs = jax.random.split(rng, cfg.train_steps_per_iteration)
+            state, metrics = jax.lax.scan(one, state, rngs)
+            mean = jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+            return state, mean
+
+        self._train = jax.jit(train_fn, out_shardings=(repl, repl))
+
+    # ---- public API ------------------------------------------------------
+
+    def run_iteration(self, it: int) -> Dict:
+        t0 = time.perf_counter()
+        out = self._actor(self.state.params, self._next_rng())
+        jax.block_until_ready(out.winner)
+        actor_s = time.perf_counter() - t0
+
+        self.buffer = self._ingest(self.buffer, out)
+        moves = int(out.length.sum())
+        buf_size = int(self.buffer.size)
+
+        metrics = {}
+        train_s = 0.0
+        if buf_size >= self.config.min_replay_before_training:
+            t0 = time.perf_counter()
+            self.state, m = self._train(
+                self.state, self.buffer, self._next_rng()
+            )
+            jax.block_until_ready(m.loss)
+            train_s = time.perf_counter() - t0
+            metrics = {
+                "loss": float(m.loss),
+                "policy_loss": float(m.policy_loss),
+                "value_loss": float(m.value_loss),
+                "grad_norm": float(m.grad_norm),
+            }
+
+        entry = {
+            "iteration": it,
+            "games": self.config.games_per_iteration,
+            "moves": moves,
+            "replay_size": buf_size,
+            "actor_s": round(actor_s, 2),
+            "train_s": round(train_s, 2),
+            "moves_per_s": round(moves / max(actor_s, 1e-9), 1),
+            **metrics,
+        }
+        self.history.append(entry)
+        log.info("iter %s: %s", it, entry)
+        return entry
+
+    def run(self, iterations: Optional[int] = None):
+        n = iterations or self.config.iterations
+        for it in range(n):
+            self.run_iteration(it)
+            if (it + 1) % self.config.checkpoint_every == 0:
+                self.save_checkpoint(it)
+        self.save_history()
+        return self.history
+
+    # ---- persistence -----------------------------------------------------
+
+    def _ckpt_manager(self):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(self.config.checkpoint_dir)
+        os.makedirs(path, exist_ok=True)
+        return ocp.CheckpointManager(
+            path, options=ocp.CheckpointManagerOptions(max_to_keep=3)
+        )
+
+    def save_checkpoint(self, it: int):
+        import orbax.checkpoint as ocp
+
+        mgr = self._ckpt_manager()
+        payload = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "rng": jax.random.key_data(self.rng),
+        }
+        if self.config.checkpoint_replay:
+            payload["replay"] = dataclasses.asdict(self.buffer) if False else {
+                "states": self.buffer.states,
+                "policy": self.buffer.policy,
+                "value": self.buffer.value,
+                "position": self.buffer.position,
+                "size": self.buffer.size,
+            }
+        mgr.save(it, args=ocp.args.StandardSave(payload))
+        mgr.wait_until_finished()
+        self.save_history()
+
+    def restore_checkpoint(self, it: Optional[int] = None):
+        import orbax.checkpoint as ocp
+
+        mgr = self._ckpt_manager()
+        step = it if it is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                f"no checkpoint under {self.config.checkpoint_dir}"
+            )
+        template = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "rng": jax.random.key_data(self.rng),
+        }
+        if self.config.checkpoint_replay:
+            template["replay"] = {
+                "states": self.buffer.states,
+                "policy": self.buffer.policy,
+                "value": self.buffer.value,
+                "position": self.buffer.position,
+                "size": self.buffer.size,
+            }
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        self.state = TrainState(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+        self.state = meshlib.replicate(self.mesh, self.state)
+        self.rng = jax.random.wrap_key_data(restored["rng"])
+        if self.config.checkpoint_replay and "replay" in restored:
+            r = restored["replay"]
+            self.buffer = replay.ReplayBuffer(
+                states=r["states"], policy=r["policy"], value=r["value"],
+                position=r["position"], size=r["size"],
+            )
+        return step
+
+    def save_history(self):
+        path = os.path.join(
+            os.path.abspath(self.config.checkpoint_dir), "history.json"
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.history, f, indent=2)

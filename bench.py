@@ -40,7 +40,7 @@ def main():
         rng, jnp.zeros((1,) + env.observation_shape, jnp.float32)
     )
 
-    def eval_fn(obs):
+    def eval_fn(obs, to_play=None):
         return model.apply(params, obs)
 
     config = SelfPlayConfig(

@@ -1,0 +1,61 @@
+"""Model tests (shapes, dtypes, grads) — analog of the reference
+python/tests/test_models.py (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_tpu.models.resnet import AZResNet, ResNetConfig
+
+
+class TestAZResNet:
+    def test_forward_shapes(self):
+        model = AZResNet(num_actions=225,
+                         cfg=ResNetConfig(num_blocks=2, channels=32))
+        obs = jnp.zeros((4, 11, 15, 15), jnp.float32)
+        params = model.init(jax.random.key(0), obs)
+        logits, value = jax.jit(model.apply)(params, obs)
+        assert logits.shape == (4, 225)
+        assert value.shape == (4,)
+        assert logits.dtype == jnp.float32
+
+    def test_value_bounded(self):
+        model = AZResNet(num_actions=82,
+                         cfg=ResNetConfig(num_blocks=1, channels=16))
+        obs = jax.random.normal(jax.random.key(1), (8, 8, 9, 9))
+        params = model.init(jax.random.key(0), obs)
+        _, value = model.apply(params, obs)
+        assert bool(jnp.all(jnp.abs(value) <= 1.0))
+
+    def test_params_fp32_compute_bf16(self):
+        model = AZResNet(num_actions=225,
+                         cfg=ResNetConfig(num_blocks=1, channels=16))
+        obs = jnp.zeros((1, 11, 15, 15))
+        params = model.init(jax.random.key(0), obs)
+        dtypes = {p.dtype for p in jax.tree_util.tree_leaves(params)}
+        assert dtypes == {jnp.dtype(jnp.float32)}
+
+    def test_differentiable(self):
+        model = AZResNet(num_actions=49,
+                         cfg=ResNetConfig(num_blocks=1, channels=16))
+        obs = jax.random.normal(jax.random.key(2), (2, 11, 7, 7))
+        params = model.init(jax.random.key(0), obs)
+
+        def loss(p):
+            logits, value = model.apply(p, obs)
+            return jnp.sum(logits**2) + jnp.sum(value**2)
+
+        grads = jax.grad(loss)(params)
+        gnorm = sum(
+            float(jnp.sum(jnp.abs(g)))
+            for g in jax.tree_util.tree_leaves(grads)
+        )
+        assert gnorm > 0 and np.isfinite(gnorm)
+
+    def test_deterministic(self):
+        model = AZResNet(num_actions=225,
+                         cfg=ResNetConfig(num_blocks=1, channels=16))
+        obs = jax.random.normal(jax.random.key(3), (2, 11, 15, 15))
+        params = model.init(jax.random.key(0), obs)
+        l1, v1 = model.apply(params, obs)
+        l2, v2 = model.apply(params, obs)
+        np.testing.assert_array_equal(l1, l2)
