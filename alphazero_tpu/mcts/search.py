@@ -74,10 +74,9 @@ class Tree:
 
     visits: jax.Array  # i32 [B, N]
     value_sum: jax.Array  # f32 [B, N]
-    prior: jax.Array  # f32 [B, N, A]; exactly 0 on illegal actions
-    children: jax.Array  # i32 [B, N, A]; -1 = unexpanded edge
-    parent: jax.Array  # i32 [B, N]; -1 at root
-    action_from_parent: jax.Array  # i32 [B, N]
+    prior: jax.Array  # bf16 [B, N, A]; exactly 0 on illegal actions
+    children: jax.Array  # i16/i32 [B, N, A]; -1 = unexpanded edge
+    parent: jax.Array  # i16/i32 [B, N]; -1 at root
     terminal: jax.Array  # bool [B, N]
     tvalue: jax.Array  # f32 [B, N] terminal value (node-to-play perspective)
     states: Any  # env-state pytree, leaves [B, N, ...]
@@ -116,8 +115,8 @@ def _child_scores(tree: Tree, node: jax.Array, config: MCTSConfig) -> jax.Array:
     """PUCT scores over actions for each tree's current ``node`` ([B] ->
     [B, A]).  Illegal actions (prior == 0) score -inf."""
     b = jnp.arange(tree.batch_size)
-    prior = tree.prior[b, node]  # [B, A]
-    child = tree.children[b, node]  # [B, A]
+    prior = tree.prior[b, node].astype(jnp.float32)  # [B, A]
+    child = tree.children[b, node].astype(jnp.int32)  # [B, A]
     cidx = jnp.maximum(child, 0)
     cv = jnp.take_along_axis(tree.visits, cidx, axis=1)  # [B, A]
     cw = jnp.take_along_axis(tree.value_sum, cidx, axis=1)
@@ -168,7 +167,7 @@ def _select(tree: Tree, config: MCTSConfig) -> _SelectCarry:
         stop_terminal = ~c.done & term_here
         scores = _child_scores(tree, c.node, config)
         action = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-        child = tree.children[b, c.node, action]
+        child = tree.children[b, c.node, action].astype(jnp.int32)
         stop_expand = ~c.done & ~term_here & (child == UNVISITED)
         advance = ~c.done & ~term_here & (child != UNVISITED)
         return _SelectCarry(
@@ -204,7 +203,7 @@ def _backprop(tree: Tree, start: jax.Array, value: jax.Array) -> Tree:
         idx = jnp.maximum(node, 0)
         visits = visits.at[b, idx].add(jnp.where(active, 1, 0))
         value_sum = value_sum.at[b, idx].add(jnp.where(active, val, 0.0))
-        nxt = jnp.where(active, tree.parent[b, idx], -1)
+        nxt = jnp.where(active, tree.parent[b, idx].astype(jnp.int32), -1)
         return nxt, -val, visits, value_sum
 
     _, _, visits, value_sum = jax.lax.while_loop(
@@ -245,15 +244,19 @@ def instantiate_tree(
     winner = jax.vmap(env.winner)(root_states)
     tval = terminal_value(winner, to_play)
 
-    prior_arr = jnp.zeros((B, N, A), jnp.float32).at[:, 0].set(prior)
+    # Compact arena dtypes: bf16 priors and 16-bit node indices halve the
+    # HBM footprint and gather bandwidth of the [B, N, A] arrays.
+    idx_dtype = jnp.int16 if N <= 32767 else jnp.int32
+    prior_arr = jnp.zeros((B, N, A), jnp.bfloat16).at[:, 0].set(
+        prior.astype(jnp.bfloat16)
+    )
     root_v = jnp.where(term, tval, root_value)
     return Tree(
         visits=jnp.zeros((B, N), jnp.int32).at[:, 0].set(1),
         value_sum=jnp.zeros((B, N), jnp.float32).at[:, 0].set(root_v),
         prior=prior_arr,
-        children=jnp.full((B, N, A), UNVISITED),
-        parent=jnp.full((B, N), UNVISITED),
-        action_from_parent=jnp.full((B, N), UNVISITED),
+        children=jnp.full((B, N, A), -1, idx_dtype),
+        parent=jnp.full((B, N), -1, idx_dtype),
         terminal=jnp.zeros((B, N), jnp.bool_).at[:, 0].set(term),
         tvalue=jnp.zeros((B, N), jnp.float32).at[:, 0].set(tval),
         states=states,
@@ -283,8 +286,11 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
     child_tval = terminal_value(child_winner, child_to_play)
 
     expand = ~sel.leaf_terminal  # lanes that actually add a node
+    cdt = tree.children.dtype
     children = tree.children.at[b, leaf, action].set(
-        jnp.where(expand, new, tree.children[b, leaf, action])
+        jnp.where(
+            expand, new.astype(cdt), tree.children[b, leaf, action]
+        )
     )
     write = lambda arr, val: arr.at[b, new].set(
         jnp.where(expand.reshape((B,) + (1,) * (val.ndim - 1)), val, arr[b, new])
@@ -300,10 +306,9 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
     )
     tree = tree.replace(
         children=children,
-        prior=write(tree.prior, prior),
-        parent=tree.parent.at[b, new].set(jnp.where(expand, leaf, UNVISITED)),
-        action_from_parent=tree.action_from_parent.at[b, new].set(
-            jnp.where(expand, action, UNVISITED)
+        prior=write(tree.prior, prior.astype(tree.prior.dtype)),
+        parent=tree.parent.at[b, new].set(
+            jnp.where(expand, leaf.astype(cdt), jnp.asarray(-1, cdt))
         ),
         terminal=tree.terminal.at[b, new].set(
             jnp.where(expand, child_term, False)

@@ -26,6 +26,11 @@ def main():
     moves = int(os.environ.get("BENCH_MOVES", "16"))
 
     import jax
+
+    # Persistent compilation cache: remote axon compiles run ~400s cold; the
+    # cache makes repeat benches start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from alphazero_tpu.games.gomoku import GomokuEnv
