@@ -1,0 +1,206 @@
+"""Interactive CLI — the reference CLI surface
+(``include/alphazero/cli/cli_interface.h:110-121``, ``src/cli/cli_main.cpp``):
+commands new / play / aimove / undo / show / info / setoption / save / load /
+benchmark / quit, driving the same batched engine with batch size 1.
+
+Run:  python -m alphazero_tpu.cli [--game gomoku] [--board-size 15]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+class GameSession:
+    """One interactive game: env + state + history (undo) + engine."""
+
+    def __init__(self, game="gomoku", board_size=15, model_path=None,
+                 simulations=200, **variant):
+        import jax
+
+        from alphazero_tpu.core import registry
+        from alphazero_tpu.mcts.search import MCTSConfig, search, select_action
+        from alphazero_tpu.models.stub import make_uniform_eval_fn
+
+        self.jax = jax
+        self.game = game
+        self.env = registry.create_game(game, board_size, **variant)
+        self.options = {"simulations": simulations, "temperature": 0.0}
+        if model_path:
+            from alphazero_tpu.models.io import load_model
+
+            model, params = load_model(model_path, self.env.observation_shape)
+
+            def eval_fn(obs, to_play=None):
+                return model.apply(params, obs)
+
+            self.eval_fn = eval_fn
+        else:
+            self.eval_fn = make_uniform_eval_fn(
+                self.env.num_actions, value_noise=0.1
+            )
+        self._search = search
+        self._select = select_action
+        self._mcts_config_cls = MCTSConfig
+        self._jit_cache = {}
+        self.rng = jax.random.key(int(time.time()) % 2**31)
+        self.new_game()
+
+    def new_game(self):
+        self.state = self.env.init()
+        self.history = [self.state]
+
+    def _next_rng(self):
+        self.rng, sub = self.jax.random.split(self.rng)
+        return sub
+
+    def legal_actions(self):
+        import numpy as np
+
+        return np.nonzero(np.asarray(self.env.legal_mask(self.state)))[0]
+
+    def play(self, action: int) -> bool:
+        import numpy as np
+
+        legal = np.asarray(self.env.legal_mask(self.state))
+        if action < 0 or action >= len(legal) or not legal[action]:
+            return False
+        self.state = self.env.step(self.state, self.jax.numpy.asarray(action))
+        self.history.append(self.state)
+        return True
+
+    def ai_move(self):
+        """Run search and play the chosen action.  Returns (action, info)."""
+        import jax
+        import jax.numpy as jnp
+        import jax.tree_util as jtu
+
+        sims = int(self.options["simulations"])
+        key = ("search", sims)
+        if key not in self._jit_cache:
+            cfg = self._mcts_config_cls(
+                num_simulations=sims, dirichlet_epsilon=0.0
+            )
+            env, eval_fn, srch = self.env, self.eval_fn, self._search
+
+            @jax.jit
+            def run(states, rng):
+                out = srch(env, eval_fn, states, rng, cfg)
+                return out.visit_counts, out.action_weights, out.root_value
+
+            self._jit_cache[key] = run
+        run = self._jit_cache[key]
+        batched = jtu.tree_map(lambda x: x[None], self.state)
+        t0 = time.perf_counter()
+        counts, weights, value = run(batched, self._next_rng())
+        counts.block_until_ready()
+        think = time.perf_counter() - t0
+        temp = jnp.float32(self.options["temperature"])
+        action = int(
+            self._select(self._next_rng(), counts, temp)[0]
+        )
+        self.play(action)
+        return action, {
+            "value": float(value[0]),
+            "visits": int(counts.sum()),
+            "time_s": round(think, 2),
+        }
+
+    def undo(self) -> bool:
+        if len(self.history) <= 1:
+            return False
+        self.history.pop()
+        self.state = self.history[-1]
+        return True
+
+    def show(self) -> str:
+        from alphazero_tpu.utils.render import render
+
+        return render(self.env, self.state)
+
+    def info(self) -> dict:
+        s = self.state
+        return {
+            "game": self.game,
+            "to_play": int(self.env.to_play(s)),
+            "move_count": int(s.move_count),
+            "terminal": bool(self.env.terminal_flag(s)),
+            "winner": int(self.env.winner(s)),
+            "legal_moves": len(self.legal_actions()),
+        }
+
+
+HELP = """commands:
+  new                     start a new game
+  play <action>           make a move (flat action index)
+  aimove                  let the engine move
+  undo                    undo last move
+  show                    print the board
+  info                    print game status as JSON
+  setoption <name> <val>  set engine option (simulations, temperature)
+  benchmark               time one engine move
+  quit                    exit
+"""
+
+
+def repl(session: GameSession):
+    print(HELP)
+    print(session.show())
+    while True:
+        try:
+            line = input("az> ").strip()
+        except EOFError:
+            break
+        if not line:
+            continue
+        cmd, *rest = line.split()
+        if cmd == "quit":
+            break
+        elif cmd == "new":
+            session.new_game()
+            print(session.show())
+        elif cmd == "play":
+            if not rest or not session.play(int(rest[0])):
+                print("illegal move")
+            else:
+                print(session.show())
+        elif cmd == "aimove":
+            action, info = session.ai_move()
+            print(f"engine plays {action} ({info})")
+            print(session.show())
+        elif cmd == "undo":
+            print("ok" if session.undo() else "nothing to undo")
+        elif cmd == "show":
+            print(session.show())
+        elif cmd == "info":
+            print(json.dumps(session.info()))
+        elif cmd == "setoption" and len(rest) == 2:
+            session.options[rest[0]] = float(rest[1])
+            print("ok")
+        elif cmd == "benchmark":
+            t0 = time.perf_counter()
+            action, info = session.ai_move()
+            session.undo()
+            print(json.dumps({"move_time_s": round(time.perf_counter() - t0,
+                                                   2), **info}))
+        else:
+            print(HELP)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--game", default="gomoku",
+                   choices=["gomoku", "go", "chess"])
+    p.add_argument("--board-size", type=int, default=15)
+    p.add_argument("--model", default=None)
+    p.add_argument("--simulations", type=int, default=200)
+    args = p.parse_args(argv)
+    session = GameSession(args.game, args.board_size, args.model,
+                          args.simulations)
+    repl(session)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""FEN I/O for the chess environment (host-side).
+
+Reference parity: ``ChessState::toFEN``/``setFromFEN``
+(``src/games/chess/chess_state.cpp`` FEN section).  Standard FEN; castling
+rights KQkq (Chess960 starts are configured through ``ChessEnv`` instead of
+Shredder-FEN).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_tpu.games.chess_tables import (
+    BISHOP, KING, KNIGHT, PAWN, QUEEN, ROOK,
+)
+
+_PIECE_CHARS = {
+    PAWN: "P", KNIGHT: "N", BISHOP: "B", ROOK: "R", QUEEN: "Q", KING: "K",
+}
+_CHAR_PIECES = {}
+for p, ch in _PIECE_CHARS.items():
+    _CHAR_PIECES[ch] = p  # white
+    _CHAR_PIECES[ch.lower()] = 6 + p  # black
+
+
+def board_from_fen(placement: str) -> np.ndarray:
+    board = np.full((8, 8), -1, np.int8)
+    ranks = placement.split("/")
+    if len(ranks) != 8:
+        raise ValueError(f"bad FEN placement {placement!r}")
+    for i, rank in enumerate(ranks):
+        r = 7 - i  # FEN starts at rank 8
+        c = 0
+        for ch in rank:
+            if ch.isdigit():
+                c += int(ch)
+            else:
+                board[r, c] = _CHAR_PIECES[ch]
+                c += 1
+        if c != 8:
+            raise ValueError(f"bad FEN rank {rank!r}")
+    return board
+
+
+def square_from_alg(s: str) -> int:
+    return (int(s[1]) - 1) * 8 + (ord(s[0]) - ord("a"))
+
+
+def alg_from_square(sq: int) -> str:
+    return chr(ord("a") + sq % 8) + str(sq // 8 + 1)
+
+
+def state_from_fen(env, fen: str):
+    """Build a ChessState from a FEN string (legal mask + hash computed)."""
+    from alphazero_tpu.games.chess import ChessState
+
+    parts = fen.split()
+    board = board_from_fen(parts[0])
+    to_play = 0 if parts[1] == "w" else 1
+    cast = np.zeros((2, 2), bool)
+    if len(parts) > 2 and parts[2] != "-":
+        cast[0, 0] = "K" in parts[2]
+        cast[0, 1] = "Q" in parts[2]
+        cast[1, 0] = "k" in parts[2]
+        cast[1, 1] = "q" in parts[2]
+    ep = -1
+    if len(parts) > 3 and parts[3] != "-":
+        ep = square_from_alg(parts[3])
+    halfmove = int(parts[4]) if len(parts) > 4 else 0
+    fullmove = int(parts[5]) if len(parts) > 5 else 1
+    move_count = (fullmove - 1) * 2 + to_play
+
+    board_j = jnp.asarray(board)
+    cast_j = jnp.asarray(cast)
+    ep_j = jnp.asarray(ep, jnp.int32)
+    tp_j = jnp.asarray(to_play, jnp.int32)
+    h = env._hash_board(board_j) + env._hash_extras(cast_j, ep_j, tp_j)
+    hist = jnp.zeros((env.history_len, 2), jnp.uint32).at[0].set(h)
+    state = ChessState(
+        board=board_j,
+        to_play=tp_j,
+        castling=cast_j,
+        rook_start=jnp.asarray([[7, 0], [7, 0]], jnp.int32),
+        king_start=jnp.asarray([4, 4], jnp.int32),
+        ep_square=ep_j,
+        halfmove=jnp.asarray(halfmove, jnp.int32),
+        move_count=jnp.asarray(move_count, jnp.int32),
+        terminal=jnp.zeros((), jnp.bool_),
+        winner=jnp.full((), -1, jnp.int32),
+        in_check=jnp.zeros((), jnp.bool_),
+        legal=jnp.zeros((env.num_actions,), jnp.bool_),
+        hash=h,
+        history=hist,
+        rep_count=jnp.ones((), jnp.int32),
+    )
+    legal, in_check = env._legal_mask_impl(state)
+    # Adjudicate the loaded position like step() would (mate/stalemate/
+    # 50-move/insufficient material).
+    no_moves = ~jnp.any(legal)
+    checkmate = no_moves & in_check
+    terminal = (
+        no_moves
+        | (state.halfmove >= 100)
+        | env._insufficient_material(state.board)
+    )
+    winner = jnp.where(
+        checkmate, 1 - state.to_play, jnp.full((), -1, jnp.int32)
+    )
+    return state.replace(
+        legal=legal & ~terminal,
+        in_check=in_check,
+        terminal=terminal,
+        winner=winner,
+    )
+
+
+def fen_from_state(state) -> str:
+    board = np.asarray(state.board)
+    ranks = []
+    for r in range(7, -1, -1):
+        out, empties = "", 0
+        for c in range(8):
+            p = int(board[r, c])
+            if p < 0:
+                empties += 1
+            else:
+                if empties:
+                    out += str(empties)
+                    empties = 0
+                ch = _PIECE_CHARS[p % 6]
+                out += ch if p < 6 else ch.lower()
+        if empties:
+            out += str(empties)
+        ranks.append(out)
+    placement = "/".join(ranks)
+    stm = "w" if int(state.to_play) == 0 else "b"
+    cast = np.asarray(state.castling)
+    rights = (
+        ("K" if cast[0, 0] else "")
+        + ("Q" if cast[0, 1] else "")
+        + ("k" if cast[1, 0] else "")
+        + ("q" if cast[1, 1] else "")
+    ) or "-"
+    ep = int(state.ep_square)
+    ep_s = alg_from_square(ep) if ep >= 0 else "-"
+    half = int(state.halfmove)
+    full = int(state.move_count) // 2 + 1
+    return f"{placement} {stm} {rights} {ep_s} {half} {full}"

@@ -1,0 +1,86 @@
+"""Self-play generation CLI — the reference ``python/scripts/self_play.py``
+and ``orchestrate_selfplay.py`` equivalent (one SPMD program replaces the
+process fleet; SURVEY.md §2.8).
+
+Generates games with a model (or the uniform stub) and writes
+reference-schema GameRecord JSONs.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--game", default="gomoku",
+                   choices=["gomoku", "go", "chess"])
+    p.add_argument("--board-size", type=int, default=15)
+    p.add_argument("--num-games", type=int, default=64)
+    p.add_argument("--simulations", type=int, default=800)
+    p.add_argument("--max-moves", type=int, default=None)
+    p.add_argument("--model", default=None,
+                   help="model bundle path (models/io.py); default: uniform")
+    p.add_argument("--output-dir", default="data/games")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--temperature-drop", type=int, default=30)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from alphazero_tpu.core import registry
+    from alphazero_tpu.mcts.search import MCTSConfig
+    from alphazero_tpu.models.stub import make_uniform_eval_fn
+    from alphazero_tpu.selfplay import game_record
+    from alphazero_tpu.selfplay.actor import SelfPlayConfig, play_games
+
+    env = registry.create_game(args.game, args.board_size)
+    if args.model:
+        from alphazero_tpu.models.io import load_model
+
+        model, params = load_model(args.model, env.observation_shape)
+
+        def eval_fn(obs, to_play=None):
+            return model.apply(params, obs)
+    else:
+        eval_fn = make_uniform_eval_fn(env.num_actions, value_noise=0.1)
+
+    max_moves = args.max_moves or (
+        env.board_size**2 + 1 if args.game == "gomoku"
+        else 2 * env.board_size**2 if args.game == "go" else 512
+    )
+    config = SelfPlayConfig(
+        mcts=MCTSConfig(num_simulations=args.simulations),
+        max_moves=max_moves,
+        temperature_drop_move=args.temperature_drop,
+    )
+
+    fn = jax.jit(
+        lambda r: play_games(env, eval_fn, r, config,
+                             batch_size=args.num_games)
+    )
+    t0 = time.perf_counter()
+    out = fn(jax.random.key(args.seed))
+    jax.block_until_ready(out.winner)
+    elapsed = time.perf_counter() - t0
+
+    records = game_record.records_from_selfplay(env, out)
+    os.makedirs(args.output_dir, exist_ok=True)
+    for i, rec in enumerate(records):
+        rec.save(os.path.join(args.output_dir, f"game_{args.seed}_{i}.json"))
+
+    moves = int(out.length.sum())
+    stats = {
+        "games": len(records),
+        "moves": moves,
+        "elapsed_s": round(elapsed, 1),
+        "games_per_min": round(len(records) / elapsed * 60, 1),
+        "moves_per_s": round(moves / elapsed, 1),
+    }
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,3 +59,32 @@ class TestAZResNet:
         l1, v1 = model.apply(params, obs)
         l2, v2 = model.apply(params, obs)
         np.testing.assert_array_equal(l1, l2)
+
+
+class TestRandWire:
+    def test_forward_and_reproducible_wiring(self):
+        from alphazero_tpu.models.randwire import (
+            DDWRandWireResNet, RandWireConfig, watts_strogatz_dag,
+        )
+
+        cfg = RandWireConfig(num_blocks=2, nodes_per_block=4, channels=16)
+        model = DDWRandWireResNet(num_actions=81, cfg=cfg)
+        obs = jnp.zeros((2, 8, 9, 9))
+        params = model.init(jax.random.key(0), obs)
+        logits, value = jax.jit(model.apply)(params, obs)
+        assert logits.shape == (2, 81)
+        assert value.shape == (2,)
+        # Same seed -> same DAG (reproducibility, ddw_randwire.py:172).
+        assert watts_strogatz_dag(8, 4, 0.75, 7) == watts_strogatz_dag(
+            8, 4, 0.75, 7
+        )
+        assert watts_strogatz_dag(8, 4, 0.75, 7) != watts_strogatz_dag(
+            8, 4, 0.75, 8
+        )
+
+    def test_dag_acyclic(self):
+        from alphazero_tpu.models.randwire import watts_strogatz_dag
+
+        for seed in range(5):
+            edges = watts_strogatz_dag(16, 4, 0.75, seed)
+            assert all(u < v for u, v in edges)

