@@ -7,23 +7,31 @@ TPU-native replacement for the reference MCTS engine — ``ParallelMCTS``
 
 The reference keeps one pointer-tree per game and uses N CPU threads with
 virtual loss + a future-based queue to batch leaf evaluations onto the GPU.
-On TPU the entire apparatus inverts into data parallelism: B independent
-trees live in fixed-size struct-of-arrays arenas ``[B, num_nodes]`` and are
-advanced in lockstep inside one jitted program — one PUCT descent, one env
-step, one fused NN forward of all B leaves, one backprop per simulation.
-Leaf batching happens *by construction* (SURVEY.md §2.8), so there is no
-queue, no virtual loss, no mutexes, and determinism is free.
+On TPU the apparatus inverts into data parallelism: B independent trees live
+in fixed-capacity struct-of-arrays arenas and advance in lockstep inside one
+jitted program — one PUCT descent, one env step, one fused NN forward of all
+B leaves, one backprop per simulation.  Leaf batching exists *by
+construction* (SURVEY.md §2.8): no queue, no mutexes, deterministic.
 
-Search phases per simulation (all shapes static):
-  select   - lockstep ``while_loop`` PUCT descent per tree
-  expand   - reserve arena slot ``sim+1``; ``vmap``'d env.step on leaves
-  evaluate - one batched policy/value forward for all B new nodes
-  backprop - lockstep ``while_loop`` walk to the root with sign flips
+Memory-system design (profiled on v5e): per-lane dynamic indexing (gather/
+scatter with a different index per batch row) serializes into ~1us/row DMAs
+on TPU, so the hot loop avoids it entirely:
+
+  * The root is special-cased with dense [B, A] stat arrays (prior, edge
+    visits, edge values, child pointers): root PUCT is pure elementwise
+    work, and the root is on every simulation's path.
+  * Non-root nodes keep top-K children slots ([B, N, K]; K plays the
+    reference's progressive-widening maxChildren role,
+    parallel_mcts.cpp:1299).  Row access uses one-hot einsum sweeps —
+    bandwidth-bound MXU/VPU work instead of serialized row DMAs.
+  * Per-node statistics live in [B, N] arrays; backprop accumulates one-hot
+    path masks during the descent and applies them in one shot.
+  * Arena slot ``sim+1`` is allocated every simulation, so expansion writes
+    are dynamic-update-slices at a *scalar* index — the fast path.
 """
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
@@ -40,26 +48,82 @@ EvalFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
 UNVISITED = jnp.int32(-1)
 ROOT = jnp.int32(0)
 
+# cmeta packing base: must exceed the action space (chess: 4672).  Packed
+# values must stay exactly representable in f32 (< 2^24), which bounds the
+# arena to (2^24 / _META_BASE) - 2 nodes ~= 2046 simulations.
+_META_BASE = 8192.0
+
+
+def _meta_pack(child: jax.Array, action: jax.Array) -> jax.Array:
+    return (child.astype(jnp.float32) + 1) * _META_BASE + (
+        action.astype(jnp.float32) + 1
+    )
+
+
+def _meta_unpack(meta: jax.Array):
+    child = jnp.floor(meta / _META_BASE)
+    action = meta - child * _META_BASE
+    return (child - 1).astype(jnp.int32), (action - 1).astype(jnp.int32)
+
+
+def _pack_state(state):
+    """Convert an env-state pytree into einsum-friendly dtypes so leaf
+    gathers need no whole-arena conversion sweeps: small ints/bools -> bf16,
+    larger ints -> f32, uint32 (Zobrist lanes) -> two exact 16-bit f32
+    halves stacked on a trailing axis."""
+
+    def pack(x):
+        if x.dtype == jnp.uint32:
+            hi = (x >> 16).astype(jnp.float32)
+            lo = (x & jnp.uint32(0xFFFF)).astype(jnp.float32)
+            return jnp.stack([hi, lo], axis=-1)
+        if x.dtype in (jnp.int8, jnp.bool_):
+            return x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return x.astype(jnp.float32)
+        return x
+
+    return jax.tree_util.tree_map(pack, state)
+
+
+def _unpack_state(packed, template):
+    """Inverse of _pack_state; ``template`` supplies the original dtypes
+    (and detects the uint32 split by its extra trailing axis)."""
+
+    def unpack(p, t):
+        if t.dtype == jnp.uint32:
+            hi = jnp.round(p[..., 0]).astype(jnp.uint32)
+            lo = jnp.round(p[..., 1]).astype(jnp.uint32)
+            return (hi << 16) | lo
+        if jnp.issubdtype(t.dtype, jnp.integer) or t.dtype == jnp.bool_:
+            return jnp.round(p).astype(t.dtype)
+        return p.astype(t.dtype)
+
+    return jax.tree_util.tree_map(unpack, packed, template)
+
 
 @dataclasses.dataclass(frozen=True)
 class MCTSConfig:
-    """Search knobs; a trimmed, TPU-shaped analog of the reference's
-    25-knob ``MCTSConfig`` (``parallel_mcts.h:41-74``).  Thread/queue/mutex
-    knobs have no TPU counterpart; batch size is the tree-batch dimension.
-    """
+    """Search knobs; a trimmed, TPU-shaped analog of the reference's 25-knob
+    ``MCTSConfig`` (``parallel_mcts.h:41-74``)."""
 
     num_simulations: int = 800
     c_puct: float = 1.5  # reference default cPuct (parallel_mcts.h)
     dirichlet_alpha: float = 0.3
     dirichlet_epsilon: float = 0.25
     fpu_reduction: float = 0.0  # reference fpuReduction
-    # Q assigned to unvisited children: "zero" (AlphaZero default) or
-    # "parent" (parent mean minus fpu_reduction, the reference's FPU path,
+    # Q for unvisited children: "zero" (AlphaZero default) or "parent"
+    # (parent mean minus fpu_reduction — the reference's FPU path,
     # mcts_node.cpp:97-107).
     unvisited_q: str = "zero"
     # Reference quirk: +0.05*(5-visits) bonus for children with <5 visits
     # (mcts_node.cpp:112-116).  Off by default.
     diversity_bonus: bool = False
+    # Non-root nodes track their top-K prior actions (the root keeps the
+    # full action space).
+    max_children: int = 32
+    # Hard cap on descent depth (latency bound / safety).
+    max_depth: int = 128
 
     @property
     def num_nodes(self) -> int:
@@ -68,18 +132,31 @@ class MCTSConfig:
 
 @struct.dataclass
 class Tree:
-    """B fixed-capacity tree arenas.  Node 0 is the root.  ``value_sum`` is
-    accumulated from the perspective of the player to move at each node, so a
-    child's Q seen from its parent is ``-value_sum/visits``."""
+    """B fixed-capacity tree arenas.  Node 0 is the root.
 
+    ``value_sum`` accumulates from the perspective of the player to move at
+    each node, so a child's Q seen from its parent is ``-value_sum/visits``.
+    Root children are dense over the full action space; deeper nodes use
+    ``K = max_children`` prior-ranked slots."""
+
+    # Dense root stats over the full action space.
+    root_prior: jax.Array  # f32 [B, A]
+    root_child: jax.Array  # i32 [B, A]; -1 unexpanded
+    root_evisits: jax.Array  # i32 [B, A] edge visit counts
+    root_evalue: jax.Array  # f32 [B, A] value sums (child perspective)
+    # Per-node stats.
     visits: jax.Array  # i32 [B, N]
-    value_sum: jax.Array  # f32 [B, N]
-    prior: jax.Array  # bf16 [B, N, A]; exactly 0 on illegal actions
-    children: jax.Array  # i16/i32 [B, N, A]; -1 = unexpanded edge
-    parent: jax.Array  # i16/i32 [B, N]; -1 at root
+    value_sum: jax.Array  # f32 [B, N] (node-to-play perspective)
+    parent: jax.Array  # i32 [B, N]; -1 at root
     terminal: jax.Array  # bool [B, N]
-    tvalue: jax.Array  # f32 [B, N] terminal value (node-to-play perspective)
-    states: Any  # env-state pytree, leaves [B, N, ...]
+    tvalue: jax.Array  # f32 [B, N] terminal value
+    depth: jax.Array  # i32 [B, N]
+    # Top-K children slots of non-root nodes.  cmeta packs (child, action)
+    # per slot into one f32 lane — (child+1)*_META_BASE + (action+1), all
+    # exact in f32 — so the select loop sweeps ONE array instead of two.
+    prior: jax.Array  # bf16 [B, N, K]
+    cmeta: jax.Array  # f32 [B, N, K]; 0 = pad slot
+    states: Any  # env-state pytree, einsum-packed (see _pack_state)
 
     @property
     def batch_size(self) -> int:
@@ -88,6 +165,10 @@ class Tree:
     @property
     def capacity(self) -> int:
         return self.visits.shape[1]
+
+    @property
+    def num_actions(self) -> int:
+        return self.root_prior.shape[-1]
 
 
 class SearchOutput(NamedTuple):
@@ -99,8 +180,8 @@ class SearchOutput(NamedTuple):
 
 def masked_softmax(logits: jax.Array, legal: jax.Array) -> jax.Array:
     """Softmax over legal actions; exact zeros elsewhere; uniform-over-legal
-    if the evaluator output underflows (the reference renormalizes or falls
-    back to uniform, parallel_mcts.cpp:681-745)."""
+    fallback (the reference renormalizes or falls back to uniform,
+    parallel_mcts.cpp:681-745)."""
     neg = jnp.finfo(logits.dtype).min
     masked = jnp.where(legal, logits, neg)
     p = jax.nn.softmax(masked, axis=-1)
@@ -111,29 +192,48 @@ def masked_softmax(logits: jax.Array, legal: jax.Array) -> jax.Array:
     return jnp.where(total > 0, p / jnp.maximum(total, 1e-30), uniform)
 
 
-def _child_scores(tree: Tree, node: jax.Array, config: MCTSConfig) -> jax.Array:
-    """PUCT scores over actions for each tree's current ``node`` ([B] ->
-    [B, A]).  Illegal actions (prior == 0) score -inf."""
-    b = jnp.arange(tree.batch_size)
-    prior = tree.prior[b, node].astype(jnp.float32)  # [B, A]
-    child = tree.children[b, node].astype(jnp.int32)  # [B, A]
-    cidx = jnp.maximum(child, 0)
-    cv = jnp.take_along_axis(tree.visits, cidx, axis=1)  # [B, A]
-    cw = jnp.take_along_axis(tree.value_sum, cidx, axis=1)
-    expanded = child >= 0
-    cv = jnp.where(expanded, cv, 0)
-    cw = jnp.where(expanded, cw, 0.0)
+def _onehot(idx: jax.Array, n: int, dtype=jnp.bfloat16) -> jax.Array:
+    """[B] -> [B, n] one-hot — the TPU-friendly dynamic-access primitive."""
+    return (
+        idx[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
+    ).astype(dtype)
 
-    node_visits = tree.visits[b, node]  # [B]
-    node_value = tree.value_sum[b, node] / jnp.maximum(node_visits, 1)
 
-    q_visited = -cw / jnp.maximum(cv, 1)
+def _row_gather(arr3: jax.Array, onehot_b16: jax.Array) -> jax.Array:
+    """arr3[b, idx_b, :] for all b via one-hot contraction:
+    [B, N] x [B, N, K] -> [B, K]."""
+    if arr3.dtype in (jnp.bfloat16, jnp.float32):
+        return jnp.einsum(
+            "bn,bnk->bk", onehot_b16, arr3,
+            preferred_element_type=jnp.float32,
+        )
+    oh = onehot_b16.astype(arr3.dtype)
+    return jnp.sum(oh[:, :, None] * arr3, axis=1)
+
+
+def _vec_gather(arr2: jax.Array, onehot_b16: jax.Array) -> jax.Array:
+    """arr2[b, idx_b] via one-hot: [B, N] x [B, N] -> [B]."""
+    if arr2.dtype in (jnp.bfloat16, jnp.float32):
+        return jnp.einsum("bn,bn->b", onehot_b16, arr2,
+                          preferred_element_type=jnp.float32)
+    return jnp.sum(onehot_b16.astype(arr2.dtype) * arr2, axis=1)
+
+
+def _puct(
+    prior: jax.Array,  # f32 [B, S] slot priors (0 on pad/illegal)
+    child_visits: jax.Array,  # [B, S]
+    child_value: jax.Array,  # f32 [B, S] value sums, child perspective
+    node_visits: jax.Array,  # [B]
+    node_value: jax.Array,  # [B] mean value of the node
+    config: MCTSConfig,
+) -> jax.Array:
+    cv = child_visits.astype(jnp.float32)
+    q_visited = -child_value / jnp.maximum(cv, 1.0)
     if config.unvisited_q == "parent":
-        q_unvisited = node_value - config.fpu_reduction
+        q_un = (node_value - config.fpu_reduction)[:, None]
     else:
-        q_unvisited = jnp.zeros_like(node_value)
-    q = jnp.where(cv > 0, q_visited, q_unvisited[:, None])
-
+        q_un = jnp.zeros_like(node_value)[:, None]
+    q = jnp.where(cv > 0, q_visited, q_un)
     u = (
         config.c_puct
         * prior
@@ -146,72 +246,6 @@ def _child_scores(tree: Tree, node: jax.Array, config: MCTSConfig) -> jax.Array:
     return jnp.where(prior > 0, score, -jnp.inf)
 
 
-class _SelectCarry(NamedTuple):
-    node: jax.Array  # [B] current node per tree
-    action: jax.Array  # [B] chosen action at stop (expansion edge)
-    done: jax.Array  # [B]
-    leaf_terminal: jax.Array  # [B] stopped on a terminal node
-
-
-def _select(tree: Tree, config: MCTSConfig) -> _SelectCarry:
-    """Lockstep PUCT descent: every live lane walks one edge per iteration
-    until it hits an unexpanded edge or a terminal node."""
-    B = tree.batch_size
-    b = jnp.arange(B)
-
-    def cond(c: _SelectCarry):
-        return jnp.any(~c.done)
-
-    def body(c: _SelectCarry):
-        term_here = tree.terminal[b, c.node]
-        stop_terminal = ~c.done & term_here
-        scores = _child_scores(tree, c.node, config)
-        action = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-        child = tree.children[b, c.node, action].astype(jnp.int32)
-        stop_expand = ~c.done & ~term_here & (child == UNVISITED)
-        advance = ~c.done & ~term_here & (child != UNVISITED)
-        return _SelectCarry(
-            node=jnp.where(advance, child, c.node),
-            action=jnp.where(stop_expand | advance, action, c.action),
-            done=c.done | stop_terminal | stop_expand,
-            leaf_terminal=c.leaf_terminal | stop_terminal,
-        )
-
-    init = _SelectCarry(
-        node=jnp.zeros((B,), jnp.int32),
-        action=jnp.zeros((B,), jnp.int32),
-        done=jnp.zeros((B,), jnp.bool_),
-        leaf_terminal=jnp.zeros((B,), jnp.bool_),
-    )
-    return jax.lax.while_loop(cond, body, init)
-
-
-def _backprop(tree: Tree, start: jax.Array, value: jax.Array) -> Tree:
-    """Walk from ``start`` to the root adding ``value`` with per-ply sign
-    flips (players alternate in all supported games; reference
-    ``backpropagate``, parallel_mcts.cpp:782-833)."""
-    B = tree.batch_size
-    b = jnp.arange(B)
-
-    def cond(carry):
-        node, _, visits, value_sum = carry
-        return jnp.any(node >= 0)
-
-    def body(carry):
-        node, val, visits, value_sum = carry
-        active = node >= 0
-        idx = jnp.maximum(node, 0)
-        visits = visits.at[b, idx].add(jnp.where(active, 1, 0))
-        value_sum = value_sum.at[b, idx].add(jnp.where(active, val, 0.0))
-        nxt = jnp.where(active, tree.parent[b, idx].astype(jnp.int32), -1)
-        return nxt, -val, visits, value_sum
-
-    _, _, visits, value_sum = jax.lax.while_loop(
-        cond, body, (start, value, tree.visits, tree.value_sum)
-    )
-    return tree.replace(visits=visits, value_sum=value_sum)
-
-
 def instantiate_tree(
     env, root_states, root_logits, root_value, config: MCTSConfig, rng=None
 ) -> Tree:
@@ -221,13 +255,12 @@ def instantiate_tree(
     B = root_value.shape[0]
     N = config.num_nodes
     A = root_logits.shape[-1]
+    K = min(config.max_children, A)
 
     legal = jax.vmap(env.legal_mask)(root_states)  # [B, A]
     prior = masked_softmax(root_logits, legal)
     if rng is not None and config.dirichlet_epsilon > 0:
-        noise = jax.random.gamma(
-            rng, config.dirichlet_alpha, shape=(B, A)
-        )
+        noise = jax.random.gamma(rng, config.dirichlet_alpha, shape=(B, A))
         noise = jnp.where(legal, noise, 0.0)
         noise = noise / jnp.maximum(noise.sum(-1, keepdims=True), 1e-30)
         prior = (1 - config.dirichlet_epsilon) * prior + (
@@ -235,98 +268,321 @@ def instantiate_tree(
         ) * noise
         prior = jnp.where(legal, prior, 0.0)
 
-    def tile(x):  # [B, ...] -> [B, N, ...] (root state broadcast to all slots)
+    if (N + 1) * _META_BASE + A + 1 >= 2**24:
+        raise ValueError(
+            f"arena of {N} nodes exceeds the f32-exact cmeta packing range; "
+            "use <= ~2000 simulations or widen _META_BASE handling"
+        )
+
+    def tile(x):  # [B, ...] -> [B, N, ...]
         return jnp.broadcast_to(x[:, None], (B, N) + x.shape[1:])
 
-    states = jax.tree_util.tree_map(tile, root_states)
+    states = jax.tree_util.tree_map(tile, _pack_state(root_states))
     term = jax.vmap(env.terminal_flag)(root_states)
     to_play = jax.vmap(env.to_play)(root_states)
     winner = jax.vmap(env.winner)(root_states)
     tval = terminal_value(winner, to_play)
-
-    # Compact arena dtypes: bf16 priors and 16-bit node indices halve the
-    # HBM footprint and gather bandwidth of the [B, N, A] arrays.
-    idx_dtype = jnp.int16 if N <= 32767 else jnp.int32
-    prior_arr = jnp.zeros((B, N, A), jnp.bfloat16).at[:, 0].set(
-        prior.astype(jnp.bfloat16)
-    )
     root_v = jnp.where(term, tval, root_value)
+
     return Tree(
+        root_prior=prior.astype(jnp.float32),
+        root_child=jnp.full((B, A), -1, jnp.int32),
+        root_evisits=jnp.zeros((B, A), jnp.int32),
+        root_evalue=jnp.zeros((B, A), jnp.float32),
         visits=jnp.zeros((B, N), jnp.int32).at[:, 0].set(1),
         value_sum=jnp.zeros((B, N), jnp.float32).at[:, 0].set(root_v),
-        prior=prior_arr,
-        children=jnp.full((B, N, A), -1, idx_dtype),
-        parent=jnp.full((B, N), -1, idx_dtype),
+        parent=jnp.full((B, N), -1, jnp.int32),
         terminal=jnp.zeros((B, N), jnp.bool_).at[:, 0].set(term),
         tvalue=jnp.zeros((B, N), jnp.float32).at[:, 0].set(tval),
+        depth=jnp.zeros((B, N), jnp.int32),
+        prior=jnp.zeros((B, N, K), jnp.bfloat16),
+        cmeta=jnp.zeros((B, N, K), jnp.float32),
         states=states,
     )
+
+
+class _SelectResult(NamedTuple):
+    leaf: jax.Array  # [B] node where the descent stopped
+    action: jax.Array  # [B] env action of the expansion edge
+    slot: jax.Array  # [B] child slot at the leaf (-1 when leaf is root)
+    root_action: jax.Array  # [B] action taken at the root (first edge)
+    leaf_terminal: jax.Array  # [B] stopped on a terminal node
+    leaf_onehot: jax.Array  # bf16 [B, N] one-hot of the leaf node
+    mask_even: jax.Array  # f32 [B, N] path nodes at even depth (incl. root)
+    mask_odd: jax.Array  # f32 [B, N]
+    length: jax.Array  # [B] depth of the leaf (edges from root)
+
+
+class _Carry(NamedTuple):
+    node: jax.Array
+    action: jax.Array
+    slot: jax.Array
+    done: jax.Array
+    leaf_terminal: jax.Array
+    oh_node: jax.Array
+    mask_even: jax.Array
+    mask_odd: jax.Array
+    length: jax.Array
+    depth: jax.Array
+
+
+def _select(tree: Tree, config: MCTSConfig) -> _SelectResult:
+    """Lockstep PUCT descent: iteration 0 on the dense root arrays;
+    deeper iterations via one-hot sweeps over the top-K slot arrays."""
+    B = tree.batch_size
+    N = tree.capacity
+    K = tree.prior.shape[-1]
+
+    # --- root step (dense, elementwise) ---
+    root_term = tree.terminal[:, 0]
+    nv0 = tree.visits[:, 0]
+    nval0 = tree.value_sum[:, 0] / jnp.maximum(nv0, 1)
+    scores = _puct(
+        tree.root_prior, tree.root_evisits, tree.root_evalue,
+        nv0, nval0, config,
+    )
+    root_action = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    oh_a = _onehot(root_action, tree.num_actions)
+    child0 = _vec_gather(tree.root_child, oh_a).astype(jnp.int32)
+
+    done0 = root_term | (child0 == UNVISITED)
+    node = jnp.where(done0, 0, child0)
+    oh_node = _onehot(node, N)
+    mask_even = _onehot(jnp.zeros((B,), jnp.int32), N, jnp.float32)  # root
+    mask_odd = jnp.where(
+        done0[:, None], 0.0, oh_node.astype(jnp.float32)
+    )
+
+    init = _Carry(
+        node=node,
+        action=root_action,
+        slot=jnp.full((B,), -1, jnp.int32),
+        done=done0,
+        leaf_terminal=root_term,
+        oh_node=oh_node,
+        mask_even=mask_even,
+        mask_odd=mask_odd,
+        length=jnp.where(done0, 0, 1).astype(jnp.int32),
+        depth=jnp.ones((), jnp.int32),
+    )
+
+    stats = jnp.stack(
+        [tree.visits.astype(jnp.float32), tree.value_sum], axis=-1
+    )  # f32 [B, N, 2]
+    krange = jnp.arange(K, dtype=jnp.int32)
+
+    def cond(c: _Carry):
+        return jnp.any(~c.done) & (c.depth < config.max_depth)
+
+    def body(c: _Carry):
+        oh = c.oh_node  # bf16 [B, N]
+        term_here = _vec_gather(tree.terminal.astype(jnp.float32), oh) > 0.5
+        stop_terminal = ~c.done & term_here
+
+        prior_row = _row_gather(tree.prior, oh)  # f32 [B, K]
+        meta_row = _row_gather(tree.cmeta, oh)  # f32 [B, K]
+        child_row, action_row = _meta_unpack(meta_row)
+        # Child stats of every slot via [B, K, N] one-hot contraction.
+        cidx = jnp.maximum(child_row, 0)
+        oh_children = (
+            cidx[:, :, None] == jnp.arange(N, dtype=jnp.int32)[None, None, :]
+        ).astype(jnp.bfloat16)
+        cstats = jnp.einsum(
+            "bkn,bnc->bkc", oh_children, stats,
+            preferred_element_type=jnp.float32,
+        )
+        has_child = child_row >= 0
+        cv = jnp.where(has_child, cstats[..., 0], 0.0)
+        cw = jnp.where(has_child, cstats[..., 1], 0.0)
+
+        nv = _vec_gather(tree.visits.astype(jnp.float32), oh)
+        nw = _vec_gather(tree.value_sum, oh)
+        node_value = nw / jnp.maximum(nv, 1.0)
+
+        sc = _puct(prior_row, cv, cw, nv, node_value, config)
+        k_star = jnp.argmax(sc, axis=-1).astype(jnp.int32)
+        oh_k = k_star[:, None] == krange[None, :]
+        act = jnp.sum(jnp.where(oh_k, action_row, 0), axis=-1)
+        child = jnp.sum(jnp.where(oh_k, child_row + 1, 0), axis=-1) - 1
+
+        stop_expand = ~c.done & ~term_here & (child == UNVISITED)
+        advance = ~c.done & ~term_here & (child != UNVISITED)
+
+        new_node = jnp.where(advance, child, c.node)
+        new_oh = _onehot(new_node, N)
+        parity_even = (c.depth + 1) % 2 == 0
+        add = jnp.where(advance[:, None], new_oh.astype(jnp.float32), 0.0)
+
+        return _Carry(
+            node=new_node,
+            action=jnp.where(stop_expand | advance, act, c.action),
+            slot=jnp.where(stop_expand | advance, k_star, c.slot),
+            done=c.done | stop_terminal | stop_expand,
+            leaf_terminal=c.leaf_terminal | stop_terminal,
+            oh_node=jnp.where(advance[:, None], new_oh, c.oh_node),
+            mask_even=c.mask_even + jnp.where(parity_even, add, 0.0),
+            mask_odd=c.mask_odd + jnp.where(parity_even, 0.0, add),
+            length=jnp.where(advance, c.length + 1, c.length),
+            depth=c.depth + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return _SelectResult(
+        leaf=out.node,
+        action=out.action,
+        slot=out.slot,
+        root_action=root_action,
+        leaf_terminal=out.leaf_terminal,
+        leaf_onehot=out.oh_node,
+        mask_even=out.mask_even,
+        mask_odd=out.mask_odd,
+        length=out.length,
+    )
+
+
+def _write_row(arr, new: jax.Array, values: jax.Array, keep: jax.Array):
+    """arr[:, new] = where(keep, values, arr[:, new]) with scalar ``new``
+    (dynamic-update-slice fast path — no per-lane indexing)."""
+    old = jax.lax.dynamic_index_in_dim(arr, new, 1, False)
+    kb = keep.reshape((-1,) + (1,) * (values.ndim - 1))
+    merged = jnp.where(kb, values.astype(arr.dtype), old)
+    return jax.lax.dynamic_update_index_in_dim(arr, merged, new, 1)
+
+
+def _gather_leaf_states(states_packed, onehot_bf16, B, N):
+    """One-hot gather of each lane's leaf row from the packed state arenas
+    (all leaves already bf16/f32 — pure einsum sweeps, zero conversion
+    traffic)."""
+
+    def gather(x):
+        flat = x.reshape(B, N, -1)
+        oh = onehot_bf16.astype(x.dtype) if x.dtype == jnp.bfloat16 \
+            else onehot_bf16
+        out = jnp.einsum("bn,bnx->bx", oh, flat,
+                         preferred_element_type=jnp.float32)
+        return out.reshape((B,) + x.shape[2:]).astype(x.dtype)
+
+    return jax.tree_util.tree_map(gather, states_packed)
 
 
 def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
                    config: MCTSConfig) -> Tree:
     B = tree.batch_size
-    b = jnp.arange(B)
+    N = tree.capacity
+    K = tree.prior.shape[-1]
+    proto = env.init()  # dtype template for state packing (trace constant)
     sel = _select(tree, config)
-    leaf, action = sel.node, sel.action
-
-    # --- expand: reserve slot sim+1 in every arena ---
+    expand = ~sel.leaf_terminal
     new = (sim + 1).astype(jnp.int32)
-    leaf_state = jax.tree_util.tree_map(lambda x: x[b, leaf], tree.states)
-    child_state = jax.vmap(env.step)(leaf_state, action)
+
+    # --- expand: step the env on every lane's leaf ---
+    leaf_packed = _gather_leaf_states(tree.states, sel.leaf_onehot, B, N)
+    leaf_state = _unpack_state(leaf_packed, proto)
+    child_state = jax.vmap(env.step)(leaf_state, sel.action)
 
     obs = jax.vmap(env.observation)(child_state)
     child_to_play = jax.vmap(env.to_play)(child_state)
     logits, value = eval_fn(obs, child_to_play)
     legal = jax.vmap(env.legal_mask)(child_state)
-    prior = masked_softmax(logits, legal)
+    full_prior = masked_softmax(logits, legal)
+    topv, topa = jax.lax.top_k(full_prior, K)  # [B, K]
 
     child_term = jax.vmap(env.terminal_flag)(child_state)
     child_winner = jax.vmap(env.winner)(child_state)
     child_tval = terminal_value(child_winner, child_to_play)
 
-    expand = ~sel.leaf_terminal  # lanes that actually add a node
-    cdt = tree.children.dtype
-    children = tree.children.at[b, leaf, action].set(
-        jnp.where(
-            expand, new.astype(cdt), tree.children[b, leaf, action]
-        )
-    )
-    write = lambda arr, val: arr.at[b, new].set(
-        jnp.where(expand.reshape((B,) + (1,) * (val.ndim - 1)), val, arr[b, new])
-    )
+    # --- install the new node at arena slot `new` (scalar-index writes) ---
     states = jax.tree_util.tree_map(
-        lambda arr, val: arr.at[b, new].set(
-            jnp.where(
-                expand.reshape((B,) + (1,) * (val.ndim - 1)), val, arr[b, new]
-            )
-        ),
-        tree.states,
-        child_state,
+        lambda arr, val: _write_row(arr, new, val, expand),
+        tree.states, _pack_state(child_state),
     )
-    tree = tree.replace(
-        children=children,
-        prior=write(tree.prior, prior.astype(tree.prior.dtype)),
-        parent=tree.parent.at[b, new].set(
-            jnp.where(expand, leaf.astype(cdt), jnp.asarray(-1, cdt))
-        ),
-        terminal=tree.terminal.at[b, new].set(
-            jnp.where(expand, child_term, False)
-        ),
-        tvalue=tree.tvalue.at[b, new].set(jnp.where(expand, child_tval, 0.0)),
-        states=states,
+    prior_arr = _write_row(tree.prior, new, topv, expand)
+    meta_new = jnp.where(
+        topv > 0, _meta_pack(jnp.full((B, K), -1), topa), 0.0
+    )
+    cmeta = _write_row(tree.cmeta, new, meta_new, expand)
+    parent = _write_row(tree.parent, new,
+                        jnp.where(expand, sel.leaf, -1), expand)
+    terminal = _write_row(tree.terminal, new, child_term, expand)
+    tvalue = _write_row(tree.tvalue, new, child_tval, expand)
+    depth = _write_row(tree.depth, new, sel.length + 1, expand)
+
+    # --- link the parent's edge to the new node ---
+    from_root = sel.slot < 0
+    oh_a_bool = _onehot(sel.root_action, tree.num_actions, jnp.bool_)
+    root_child = jnp.where(
+        (expand & from_root)[:, None] & oh_a_bool, new, tree.root_child
+    )
+    oh_leaf_bool = sel.leaf_onehot > 0
+    oh_slot = (
+        jnp.maximum(sel.slot, 0)[:, None]
+        == jnp.arange(K, dtype=jnp.int32)[None, :]
+    )
+    link = (
+        (expand & ~from_root)[:, None, None]
+        & oh_leaf_bool[:, :, None]
+        & oh_slot[:, None, :]
+    )
+    # Rewrite the child part of the packed slot, keep its action part.
+    action_part = cmeta - jnp.floor(cmeta / _META_BASE) * _META_BASE
+    cmeta = jnp.where(
+        link, (new.astype(jnp.float32) + 1) * _META_BASE + action_part, cmeta
     )
 
-    # --- evaluate + backprop ---
-    # Expanded lanes: NN value unless the new child is terminal (true value
-    # takes precedence).  Terminal-leaf lanes: revisit the stored value.
-    leaf_value = jnp.where(
+    # --- backprop via the accumulated path masks ---
+    leaf_tval = _vec_gather(tree.tvalue, sel.leaf_onehot)
+    leaf_val = jnp.where(
         sel.leaf_terminal,
-        tree.tvalue[b, leaf],
+        leaf_tval,
         jnp.where(child_term, child_tval, value),
     )
-    start = jnp.where(sel.leaf_terminal, leaf, new)
-    return _backprop(tree, start, leaf_value)
+    L = sel.length + expand.astype(jnp.int32)  # depth of backprop start
+    l_even = (L % 2 == 0)[:, None]
+    v = leaf_val[:, None]
+    visits = tree.visits + (sel.mask_even + sel.mask_odd).astype(jnp.int32)
+    value_sum = (
+        tree.value_sum
+        + jnp.where(l_even, v, -v) * sel.mask_even
+        + jnp.where(l_even, -v, v) * sel.mask_odd
+    )
+    # The new node itself (depth L, sign +v).
+    visits = _write_row(
+        visits, new,
+        jax.lax.dynamic_index_in_dim(visits, new, 1, False)
+        + jnp.where(expand, 1, 0),
+        jnp.ones((B,), bool),
+    )
+    value_sum = _write_row(
+        value_sum, new,
+        jax.lax.dynamic_index_in_dim(value_sum, new, 1, False)
+        + jnp.where(expand, leaf_val, 0.0),
+        jnp.ones((B,), bool),
+    )
+
+    # --- root edge stats (child-perspective sums; child sits at depth 1) ---
+    backed = (sel.length >= 1) | (expand & from_root)
+    sign1 = jnp.where(L % 2 == 1, leaf_val, -leaf_val)
+    root_evisits = tree.root_evisits + jnp.where(
+        backed[:, None] & oh_a_bool, 1, 0
+    )
+    root_evalue = tree.root_evalue + jnp.where(
+        backed[:, None] & oh_a_bool, sign1[:, None], 0.0
+    )
+
+    return tree.replace(
+        root_child=root_child,
+        root_evisits=root_evisits,
+        root_evalue=root_evalue,
+        visits=visits,
+        value_sum=value_sum,
+        parent=parent,
+        terminal=terminal,
+        tvalue=tvalue,
+        depth=depth,
+        prior=prior_arr,
+        cmeta=cmeta,
+        states=states,
+    )
 
 
 def search(
@@ -337,11 +593,12 @@ def search(
     config: MCTSConfig,
 ) -> SearchOutput:
     """Run ``config.num_simulations`` batched simulations from the given
-    roots.  Fully jittable; the env and config are static."""
+    roots.  Fully jittable; env and config are static."""
     noise_rng, _ = jax.random.split(rng)
     obs = jax.vmap(env.observation)(root_states)
     logits, value = eval_fn(obs, jax.vmap(env.to_play)(root_states))
-    tree = instantiate_tree(env, root_states, logits, value, config, noise_rng)
+    tree = instantiate_tree(env, root_states, logits, value, config,
+                            noise_rng)
 
     def body(t, sim):
         return _simulate_once(env, eval_fn, t, sim, config), ()
@@ -350,11 +607,7 @@ def search(
         body, tree, jnp.arange(config.num_simulations), unroll=1
     )
 
-    b = jnp.arange(tree.batch_size)
-    root_children = tree.children[:, 0]  # [B, A]
-    cidx = jnp.maximum(root_children, 0)
-    counts = jnp.take_along_axis(tree.visits, cidx, axis=1)
-    counts = jnp.where(root_children >= 0, counts, 0)
+    counts = tree.root_evisits
     weights = counts / jnp.maximum(counts.sum(-1, keepdims=True), 1)
     root_value = tree.value_sum[:, 0] / jnp.maximum(tree.visits[:, 0], 1)
     return SearchOutput(
@@ -377,8 +630,8 @@ def select_action(
     counts = visit_counts.astype(jnp.float32)
     temp = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (B,))
     t = jnp.maximum(temp, 1e-6)[:, None]
-    logits = jnp.where(counts > 0, jnp.log(jnp.maximum(counts, 1)) / t, -jnp.inf)
-    # Guard all -inf rows for categorical.
+    logits = jnp.where(counts > 0, jnp.log(jnp.maximum(counts, 1)) / t,
+                       -jnp.inf)
     any_visits = counts.sum(-1) > 0
     safe_logits = jnp.where(any_visits[:, None], logits, 0.0)
     sampled = jax.random.categorical(rng, safe_logits, axis=-1)
