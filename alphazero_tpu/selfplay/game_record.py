@@ -89,10 +89,30 @@ class GameRecord:
         rec.moves = [MoveData.from_json(m) for m in d.get("moves", [])]
         return rec
 
+    def to_json_bytes(self) -> bytes:
+        """Serialized record; uses the native C++ encoder when available
+        (alphazero_tpu/native — the reference's C++ game_record.cpp role)."""
+        from alphazero_tpu.native import get_azrecord
+
+        mod = get_azrecord()
+        if mod is not None and self.moves:
+            actions = np.asarray([m.action for m in self.moves], np.int32)
+            policies = np.ascontiguousarray(
+                [m.policy for m in self.moves], np.float32
+            )
+            values = np.asarray([m.value for m in self.moves], np.float32)
+            return mod.encode_game(
+                int(self.game_type), int(self.board_size),
+                bool(self.use_variant_rules), actions, policies, values,
+                int(self.result),
+                self.timestamp or time.strftime("%Y-%m-%dT%H:%M:%S"),
+            )
+        return json.dumps(self.to_json()).encode()
+
     def save(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "w") as f:
-            json.dump(self.to_json(), f)
+        with open(path, "wb") as f:
+            f.write(self.to_json_bytes())
 
     @classmethod
     def load(cls, path: str) -> "GameRecord":

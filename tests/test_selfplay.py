@@ -114,3 +114,33 @@ class TestGameRecord:
             "action", "policy", "value", "thinking_time_ms"
         }
         assert d["result"] in (1, 2, 3)
+
+
+class TestNativeEncoder:
+    def test_native_matches_python(self, tmp_path):
+        from alphazero_tpu.native import get_azrecord
+
+        mod = get_azrecord()
+        if mod is None:
+            import pytest
+
+            pytest.skip("no native toolchain")
+        out = run_games(B=1)
+        rec = game_record.records_from_selfplay(ENV, out)[0]
+        native = json.loads(rec.to_json_bytes())
+        pure = rec.to_json()
+        assert native["game_type"] == pure["game_type"]
+        assert native["result"] == pure["result"]
+        assert len(native["moves"]) == len(pure["moves"])
+        for m_n, m_p in zip(native["moves"], pure["moves"]):
+            assert m_n["action"] == m_p["action"]
+            np.testing.assert_allclose(
+                m_n["policy"], m_p["policy"], rtol=1e-5, atol=1e-7
+            )
+        # Round-trips through the standard loader.
+        p = tmp_path / "native.json"
+        rec.save(str(p))
+        rec2 = game_record.GameRecord.load(str(p))
+        assert [m.action for m in rec2.moves] == [
+            m.action for m in rec.moves
+        ]

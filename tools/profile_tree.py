@@ -1,4 +1,4 @@
-"""Isolate the cost of each MCTS tree phase on the chip."""
+"""Isolate the cost of each MCTS phase (engine v2) on the chip."""
 import json
 import os
 import time
@@ -21,7 +21,6 @@ uniform = make_uniform_eval_fn(env.num_actions)
 states = jax.vmap(lambda _: env.init())(jnp.arange(B))
 cfg = S.MCTSConfig(num_simulations=SIMS, dirichlet_epsilon=0.0)
 
-# Build a fully-populated tree once (cached compile from earlier runs).
 full = jax.jit(lambda s, r: S.search(env, uniform, s, r, cfg).tree)
 tree = full(states, jax.random.key(1))
 jax.block_until_ready(tree.visits)
@@ -40,54 +39,62 @@ def bench(name, fn, *args, iters=20):
     return dt
 
 
-# 1. selection descent on the full tree (deepest case)
-sel_fn = jax.jit(lambda t: S._select(t, cfg).node)
+sel_fn = jax.jit(lambda t: S._select(t, cfg).leaf)
 bench("select_full_tree", sel_fn, tree)
 
-# 2. one full simulate_once on the nearly-full tree
 sim_fn = jax.jit(
-    lambda t: S._simulate_once(env, uniform, t, jnp.int32(SIMS - 1), cfg).visits
+    lambda t: S._simulate_once(env, uniform, t, jnp.int32(SIMS - 1),
+                               cfg).visits
 )
 bench("simulate_once", sim_fn, tree)
 
-# 3. backprop from a mid-depth node
-start = jnp.full((B,), SIMS // 2, jnp.int32)
-val = jnp.zeros((B,))
-bp_fn = jax.jit(lambda t: S._backprop(t, start, val).visits)
-bench("backprop", bp_fn, tree)
 
-# 4. child-score computation alone (one PUCT eval at root)
-node0 = jnp.zeros((B,), jnp.int32)
-cs_fn = jax.jit(lambda t: S._child_scores(t, node0, cfg))
-bench("child_scores_once", cs_fn, tree)
+# leaf-state gather alone
+@jax.jit
+def gather_fn(t):
+    sel = S._select(t, cfg)
+    lp = S._gather_leaf_states(t.states, sel.leaf_onehot, B, t.capacity)
+    return jax.tree_util.tree_leaves(lp)[0].sum()
 
-# 5. expansion-style scatter: write one row into prior + children + states
-new = jnp.int32(5)
-b = jnp.arange(B)
+
+bench("select_plus_state_gather", gather_fn, tree)
+
+
+# env step + obs + legal + topk on fixed states
+acts = jnp.zeros((B,), jnp.int32)
 
 
 @jax.jit
-def expand_writes(t):
-    prior = t.prior.at[b, new].set(jnp.zeros((B, 225), t.prior.dtype))
-    children = t.children.at[b, jnp.zeros((B,), jnp.int32),
-                             jnp.zeros((B,), jnp.int32)].set(
-        jnp.asarray(5, t.children.dtype))
+def env_fn(s):
+    ns = jax.vmap(env.step)(s, acts)
+    obs = jax.vmap(env.observation)(ns)
+    lg = jax.vmap(env.legal_mask)(ns)
+    p = S.masked_softmax(jnp.zeros((B, env.num_actions)), lg)
+    tv, ta = jax.lax.top_k(p, 32)
+    return obs.sum() + tv.sum()
+
+
+bench("env_step_obs_topk", env_fn, states)
+
+
+# writes-only: everything in simulate_once after child_state, approximated
+@jax.jit
+def writes_fn(t):
+    new = jnp.int32(SIMS - 1)
+    K = t.prior.shape[-1]
+    topv = jnp.full((B, K), 0.01, jnp.float32)
+    topa = jnp.ones((B, K), jnp.int32)
+    expand = jnp.ones((B,), bool)
+    prior = S._write_row(t.prior, new, topv, expand)
+    meta = S._write_row(t.cmeta, new,
+                        S._meta_pack(jnp.full((B, K), -1), topa), expand)
     st = jax.tree_util.tree_map(
-        lambda arr: arr.at[b, new].set(arr[b, 0]), t.states
+        lambda arr: S._write_row(
+            arr, new, jax.lax.dynamic_index_in_dim(arr, 0, 1, False), expand
+        ),
+        t.states,
     )
-    return prior.sum() + children.sum() + jax.tree_util.tree_leaves(st)[0].sum()
+    return prior.sum() + meta.sum() + jax.tree_util.tree_leaves(st)[0].sum()
 
 
-bench("expand_writes", expand_writes, tree)
-
-# 6. gather leaf states (tree_map gather)
-leaf = jnp.full((B,), 3, jnp.int32)
-
-
-@jax.jit
-def gather_states(t):
-    ls = jax.tree_util.tree_map(lambda x: x[b, leaf], t.states)
-    return jax.tree_util.tree_leaves(ls)[0].sum()
-
-
-bench("gather_leaf_states", gather_states, tree)
+bench("arena_writes", writes_fn, tree)
