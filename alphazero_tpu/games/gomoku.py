@@ -373,6 +373,61 @@ class GomokuEnv:
         """Basic 3-plane tensor (gomoku_state.cpp:811-840)."""
         return self.observation(state)[:3]
 
+    # ---- MCTS arena packing ---------------------------------------------
+
+    def pack_for_arena(self, state: GomokuState) -> dict:
+        """Dense einsum-friendly encoding for the search arena
+        (mcts/search.py): board rows bit-packed into f32 lanes (2 color
+        planes x N rows, each row an exact <=2^N integer) — ~4x less HBM
+        traffic per leaf gather than a bf16 cell array."""
+        n = self.board_size
+        w = jnp.asarray(2.0 ** jnp.arange(n), jnp.float32)
+        black = (state.board == 0).astype(jnp.float32)
+        white = (state.board == 1).astype(jnp.float32)
+        rows = jnp.concatenate(
+            [(black * w).sum(-1), (white * w).sum(-1)], axis=-1
+        )  # [..., 2n]
+        return {
+            "rows": rows,
+            "to_play": state.to_play.astype(jnp.float32),
+            "last_moves": state.last_moves.astype(jnp.float32),
+            "move_count": state.move_count.astype(jnp.float32),
+            "terminal": state.terminal.astype(jnp.bfloat16),
+            "winner": state.winner.astype(jnp.float32),
+            "hash": jnp.stack(
+                [
+                    (state.hash >> 16).astype(jnp.float32),
+                    (state.hash & jnp.uint32(0xFFFF)).astype(jnp.float32),
+                ],
+                axis=-1,
+            ),
+        }
+
+    def unpack_from_arena(self, packed: dict) -> GomokuState:
+        n = self.board_size
+        w = jnp.asarray(2.0 ** jnp.arange(n), jnp.float32)
+        rows = jnp.round(packed["rows"])
+        rb = rows[..., :n]
+        rw = rows[..., n:]
+        black = jnp.floor(rb[..., :, None] / w) % 2 > 0.5
+        white = jnp.floor(rw[..., :, None] / w) % 2 > 0.5
+        board = jnp.where(
+            black, jnp.int8(0), jnp.where(white, jnp.int8(1), jnp.int8(-1))
+        )
+        h = (
+            (jnp.round(packed["hash"][..., 0]).astype(jnp.uint32) << 16)
+            | jnp.round(packed["hash"][..., 1]).astype(jnp.uint32)
+        )
+        return GomokuState(
+            board=board,
+            to_play=jnp.round(packed["to_play"]).astype(jnp.int32),
+            last_moves=jnp.round(packed["last_moves"]).astype(jnp.int32),
+            move_count=jnp.round(packed["move_count"]).astype(jnp.int32),
+            terminal=packed["terminal"] > 0.5,
+            winner=jnp.round(packed["winner"]).astype(jnp.int32),
+            hash=h,
+        )
+
     # ---- accessors -------------------------------------------------------
 
     def terminal_flag(self, state: GomokuState) -> jax.Array:

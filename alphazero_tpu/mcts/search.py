@@ -66,11 +66,15 @@ def _meta_unpack(meta: jax.Array):
     return (child - 1).astype(jnp.int32), (action - 1).astype(jnp.int32)
 
 
-def _pack_state(state):
+def _pack_state(state, env=None):
     """Convert an env-state pytree into einsum-friendly dtypes so leaf
     gathers need no whole-arena conversion sweeps: small ints/bools -> bf16,
     larger ints -> f32, uint32 (Zobrist lanes) -> two exact 16-bit f32
-    halves stacked on a trailing axis."""
+    halves stacked on a trailing axis.  Envs may provide a denser custom
+    packing via ``pack_for_arena``/``unpack_from_arena`` (e.g. gomoku packs
+    board rows into bitfield f32 lanes)."""
+    if env is not None and hasattr(env, "pack_for_arena"):
+        return env.pack_for_arena(state)
 
     def pack(x):
         if x.dtype == jnp.uint32:
@@ -86,9 +90,11 @@ def _pack_state(state):
     return jax.tree_util.tree_map(pack, state)
 
 
-def _unpack_state(packed, template):
+def _unpack_state(packed, template, env=None):
     """Inverse of _pack_state; ``template`` supplies the original dtypes
     (and detects the uint32 split by its extra trailing axis)."""
+    if env is not None and hasattr(env, "unpack_from_arena"):
+        return env.unpack_from_arena(packed)
 
     def unpack(p, t):
         if t.dtype == jnp.uint32:
@@ -277,7 +283,7 @@ def instantiate_tree(
     def tile(x):  # [B, ...] -> [B, N, ...]
         return jnp.broadcast_to(x[:, None], (B, N) + x.shape[1:])
 
-    states = jax.tree_util.tree_map(tile, _pack_state(root_states))
+    states = jax.tree_util.tree_map(tile, _pack_state(root_states, env))
     term = jax.vmap(env.terminal_flag)(root_states)
     to_play = jax.vmap(env.to_play)(root_states)
     winner = jax.vmap(env.winner)(root_states)
@@ -477,7 +483,7 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
 
     # --- expand: step the env on every lane's leaf ---
     leaf_packed = _gather_leaf_states(tree.states, sel.leaf_onehot, B, N)
-    leaf_state = _unpack_state(leaf_packed, proto)
+    leaf_state = _unpack_state(leaf_packed, proto, env)
     child_state = jax.vmap(env.step)(leaf_state, sel.action)
 
     obs = jax.vmap(env.observation)(child_state)
@@ -485,7 +491,11 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
     logits, value = eval_fn(obs, child_to_play)
     legal = jax.vmap(env.legal_mask)(child_state)
     full_prior = masked_softmax(logits, legal)
-    topv, topa = jax.lax.top_k(full_prior, K)  # [B, K]
+    # approx_max_k hits the TPU fast path (lax.top_k full-sorts: ~3ms at
+    # [1024, 225] vs ~0.1ms approximate).  Slot priors are heuristic
+    # orderings, so the ~2% recall loss is immaterial.
+    topv, topa = jax.lax.approx_max_k(full_prior, K)  # [B, K]
+    topa = topa.astype(jnp.int32)
 
     child_term = jax.vmap(env.terminal_flag)(child_state)
     child_winner = jax.vmap(env.winner)(child_state)
@@ -494,7 +504,7 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
     # --- install the new node at arena slot `new` (scalar-index writes) ---
     states = jax.tree_util.tree_map(
         lambda arr, val: _write_row(arr, new, val, expand),
-        tree.states, _pack_state(child_state),
+        tree.states, _pack_state(child_state, env),
     )
     prior_arr = _write_row(tree.prior, new, topv, expand)
     meta_new = jnp.where(
