@@ -763,6 +763,91 @@ class ChessEnv:
     def observation_basic(self, state: ChessState) -> jax.Array:
         return self.observation(state)[:12]
 
+    # ---- MCTS arena packing ---------------------------------------------
+    # Without packing, each arena node would store a 4672-entry legal mask;
+    # 16-bit bitfield f32 lanes cut the per-node footprint ~14x.
+
+    def pack_for_arena(self, state: ChessState) -> dict:
+        def bits16(x):  # bool [..., M] -> f32 [..., ceil(M/16)] bitfields
+            m = x.shape[-1]
+            pad = (-m) % 16
+            xp = jnp.pad(x.astype(jnp.float32),
+                         [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+            xp = xp.reshape(xp.shape[:-1] + (-1, 16))
+            w = jnp.asarray(2.0 ** jnp.arange(16), jnp.float32)
+            return (xp * w).sum(-1)
+
+        def u32_split(x):
+            return jnp.stack(
+                [(x >> 16).astype(jnp.float32),
+                 (x & jnp.uint32(0xFFFF)).astype(jnp.float32)], axis=-1
+            )
+
+        # Board: piece code (-1..11) + 1 -> [0, 12]; 4 bits x 64 cells.
+        cells = (state.board.reshape(*state.board.shape[:-2], 64) + 1
+                 ).astype(jnp.float32)
+        w4 = jnp.asarray(16.0 ** jnp.arange(4), jnp.float32)
+        board_packed = (
+            cells.reshape(cells.shape[:-1] + (16, 4)) * w4
+        ).sum(-1)  # [..., 16] values < 16^4 = 65536 ... < 2^24 exact
+        return {
+            "board": board_packed,
+            "to_play": state.to_play.astype(jnp.float32),
+            "castling": state.castling.astype(jnp.bfloat16),
+            "rook_start": state.rook_start.astype(jnp.float32),
+            "king_start": state.king_start.astype(jnp.float32),
+            "ep": state.ep_square.astype(jnp.float32),
+            "halfmove": state.halfmove.astype(jnp.float32),
+            "move_count": state.move_count.astype(jnp.float32),
+            "terminal": state.terminal.astype(jnp.bfloat16),
+            "winner": state.winner.astype(jnp.float32),
+            "in_check": state.in_check.astype(jnp.bfloat16),
+            "legal": bits16(state.legal),
+            "hash": u32_split(state.hash),
+            "history": u32_split(state.history),
+            "rep": state.rep_count.astype(jnp.float32),
+        }
+
+    def unpack_from_arena(self, packed: dict) -> ChessState:
+        def unbits16(p, m):
+            w = jnp.asarray(2.0 ** jnp.arange(16), jnp.float32)
+            vals = jnp.round(p)[..., :, None]
+            bits = jnp.floor(vals / w) % 2 > 0.5
+            flat = bits.reshape(bits.shape[:-2] + (-1,))
+            return flat[..., :m]
+
+        def u32_join(p):
+            return (
+                (jnp.round(p[..., 0]).astype(jnp.uint32) << 16)
+                | jnp.round(p[..., 1]).astype(jnp.uint32)
+            )
+
+        w4 = jnp.asarray(16.0 ** jnp.arange(4), jnp.float32)
+        vals = jnp.round(packed["board"])[..., :, None]
+        cells = (jnp.floor(vals / w4) % 16).reshape(
+            packed["board"].shape[:-1] + (64,)
+        )
+        board = (cells - 1).astype(jnp.int8).reshape(
+            packed["board"].shape[:-1] + (8, 8)
+        )
+        return ChessState(
+            board=board,
+            to_play=jnp.round(packed["to_play"]).astype(jnp.int32),
+            castling=packed["castling"] > 0.5,
+            rook_start=jnp.round(packed["rook_start"]).astype(jnp.int32),
+            king_start=jnp.round(packed["king_start"]).astype(jnp.int32),
+            ep_square=jnp.round(packed["ep"]).astype(jnp.int32),
+            halfmove=jnp.round(packed["halfmove"]).astype(jnp.int32),
+            move_count=jnp.round(packed["move_count"]).astype(jnp.int32),
+            terminal=packed["terminal"] > 0.5,
+            winner=jnp.round(packed["winner"]).astype(jnp.int32),
+            in_check=packed["in_check"] > 0.5,
+            legal=unbits16(packed["legal"], T.NUM_ACTIONS),
+            hash=u32_join(packed["hash"]),
+            history=u32_join(packed["history"]),
+            rep_count=jnp.round(packed["rep"]).astype(jnp.int32),
+        )
+
     # ---- accessors -------------------------------------------------------
 
     def terminal_flag(self, state: ChessState) -> jax.Array:

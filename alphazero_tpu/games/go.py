@@ -530,6 +530,71 @@ class GoEnv:
     def observation_basic(self, state: GoState) -> jax.Array:
         return self.observation(state)[:3]
 
+    # ---- MCTS arena packing ---------------------------------------------
+
+    def pack_for_arena(self, state: GoState) -> dict:
+        """Bitboard rows + 16-bit hash splits for the search arena
+        (see games/gomoku.py pack_for_arena)."""
+        n = self.board_size
+        w = jnp.asarray(2.0 ** jnp.arange(n), jnp.float32)
+        black = (state.board == 0).astype(jnp.float32)
+        white = (state.board == 1).astype(jnp.float32)
+        rows = jnp.concatenate(
+            [(black * w).sum(-1), (white * w).sum(-1)], axis=-1
+        )
+
+        def u32_split(x):
+            return jnp.stack(
+                [(x >> 16).astype(jnp.float32),
+                 (x & jnp.uint32(0xFFFF)).astype(jnp.float32)], axis=-1
+            )
+
+        return {
+            "rows": rows,
+            "to_play": state.to_play.astype(jnp.float32),
+            "ko": state.ko_point.astype(jnp.float32),
+            "passes": state.consecutive_passes.astype(jnp.float32),
+            "move_count": state.move_count.astype(jnp.float32),
+            "prisoners": state.prisoners.astype(jnp.float32),
+            "terminal": state.terminal.astype(jnp.bfloat16),
+            "winner": state.winner.astype(jnp.float32),
+            "hash": u32_split(state.board_hash),
+            "history": u32_split(state.history),
+            "last": state.last_move.astype(jnp.float32),
+        }
+
+    def unpack_from_arena(self, packed: dict) -> GoState:
+        n = self.board_size
+        w = jnp.asarray(2.0 ** jnp.arange(n), jnp.float32)
+        rows = jnp.round(packed["rows"])
+        rb = rows[..., :n]
+        rw = rows[..., n:]
+        black = jnp.floor(rb[..., :, None] / w) % 2 > 0.5
+        white = jnp.floor(rw[..., :, None] / w) % 2 > 0.5
+        board = jnp.where(
+            black, jnp.int8(0), jnp.where(white, jnp.int8(1), jnp.int8(-1))
+        )
+
+        def u32_join(p):
+            return (
+                (jnp.round(p[..., 0]).astype(jnp.uint32) << 16)
+                | jnp.round(p[..., 1]).astype(jnp.uint32)
+            )
+
+        return GoState(
+            board=board,
+            to_play=jnp.round(packed["to_play"]).astype(jnp.int32),
+            ko_point=jnp.round(packed["ko"]).astype(jnp.int32),
+            consecutive_passes=jnp.round(packed["passes"]).astype(jnp.int32),
+            move_count=jnp.round(packed["move_count"]).astype(jnp.int32),
+            prisoners=jnp.round(packed["prisoners"]).astype(jnp.int32),
+            terminal=packed["terminal"] > 0.5,
+            winner=jnp.round(packed["winner"]).astype(jnp.int32),
+            board_hash=u32_join(packed["hash"]),
+            history=u32_join(packed["history"]),
+            last_move=jnp.round(packed["last"]).astype(jnp.int32),
+        )
+
     # ---- accessors -------------------------------------------------------
 
     def terminal_flag(self, state: GoState) -> jax.Array:

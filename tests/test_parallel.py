@@ -1,0 +1,146 @@
+"""Mesh / sharding tests on the 8-virtual-device CPU mesh — the multi-host
+simulation strategy the reference lacks (SURVEY.md §4 implication d)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from alphazero_tpu.games.gomoku import GomokuEnv
+from alphazero_tpu.mcts.search import MCTSConfig
+from alphazero_tpu.models.resnet import AZResNet, ResNetConfig
+from alphazero_tpu.models.stub import make_uniform_eval_fn
+from alphazero_tpu.parallel import mesh as meshlib
+from alphazero_tpu.selfplay.actor import SelfPlayConfig, move_once
+from alphazero_tpu.training import replay
+from alphazero_tpu.training.learner import (
+    LearnerConfig,
+    create_train_state,
+    train_step,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+class TestMesh:
+    def test_mesh_axes(self):
+        mesh = meshlib.make_mesh()
+        assert mesh.shape["data"] == 8
+        assert mesh.shape["model"] == 1
+
+    def test_model_parallel_split(self):
+        mesh = meshlib.make_mesh(model_parallelism=2)
+        assert mesh.shape["data"] == 4
+        assert mesh.shape["model"] == 2
+
+    def test_local_batch(self):
+        mesh = meshlib.make_mesh()
+        assert meshlib.local_batch_size(64, mesh) == 8
+        with pytest.raises(ValueError):
+            meshlib.local_batch_size(10, mesh)
+
+
+class TestShardedTraining:
+    def test_train_step_sharded(self):
+        mesh = meshlib.make_mesh()
+        env = GomokuEnv(board_size=7)
+        model = AZResNet(num_actions=env.num_actions,
+                         cfg=ResNetConfig(num_blocks=1, channels=16))
+        cfg = LearnerConfig(scheduler="constant", total_steps=10)
+        state, tx = create_train_state(
+            model, jax.random.key(0), env.observation_shape, cfg
+        )
+        repl = meshlib.replicated(mesh)
+        dsh = meshlib.data_sharding(mesh)
+        state = jax.device_put(state, repl)
+        B = 16
+        batch = replay.Batch(
+            obs=jax.device_put(
+                jnp.zeros((B,) + env.observation_shape), dsh
+            ),
+            policy=jax.device_put(
+                jnp.full((B, env.num_actions), 1.0 / env.num_actions), dsh
+            ),
+            value=jax.device_put(jnp.zeros((B,)), dsh),
+        )
+        step = jax.jit(
+            lambda s, b: train_step(s, b, model, tx, cfg),
+            out_shardings=(repl, repl),
+        )
+        state2, metrics = step(state, batch)
+        assert np.isfinite(float(metrics.loss))
+        # Params stay replicated.
+        leaf = jax.tree_util.tree_leaves(state2.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_sharded_equals_single_device(self):
+        """Data-parallel gradient must equal the unsharded gradient."""
+        mesh = meshlib.make_mesh()
+        env = GomokuEnv(board_size=7)
+        model = AZResNet(num_actions=env.num_actions,
+                         cfg=ResNetConfig(num_blocks=1, channels=16))
+        cfg = LearnerConfig(scheduler="constant", total_steps=10,
+                            grad_clip_norm=0.0)
+        state, tx = create_train_state(
+            model, jax.random.key(0), env.observation_shape, cfg
+        )
+        B = 16
+        rngs = jax.random.split(jax.random.key(5), 3)
+        batch = replay.Batch(
+            obs=jax.random.normal(rngs[0], (B,) + env.observation_shape),
+            policy=jax.nn.softmax(
+                jax.random.normal(rngs[1], (B, env.num_actions)), -1
+            ),
+            value=jnp.tanh(jax.random.normal(rngs[2], (B,))),
+        )
+        # Unsharded.
+        s1, m1 = jax.jit(
+            lambda s, b: train_step(s, b, model, tx, cfg)
+        )(state, batch)
+        # Sharded.
+        repl = meshlib.replicated(mesh)
+        dsh = meshlib.data_sharding(mesh)
+        state_r = jax.device_put(state, repl)
+        batch_s = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, dsh), batch
+        )
+        s2, m2 = jax.jit(
+            lambda s, b: train_step(s, b, model, tx, cfg),
+            out_shardings=(repl, repl),
+        )(state_r, batch_s)
+        np.testing.assert_allclose(
+            float(m1.loss), float(m2.loss), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params),
+            jax.tree_util.tree_leaves(s2.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
+
+class TestShardedActor:
+    def test_move_once_sharded(self):
+        mesh = meshlib.make_mesh()
+        env = GomokuEnv(board_size=7)
+        eval_fn = make_uniform_eval_fn(env.num_actions)
+        spc = SelfPlayConfig(
+            mcts=MCTSConfig(num_simulations=8, dirichlet_epsilon=0.0),
+            max_moves=4,
+        )
+        B = 16
+        dsh = meshlib.data_sharding(mesh)
+        states = jax.vmap(lambda _: env.init())(jnp.arange(B))
+        states = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, dsh), states
+        )
+        fn = jax.jit(lambda st, r: move_once(env, eval_fn, st, r, spc))
+        new_states, rec = fn(states, jax.random.key(0))
+        assert rec.action.shape == (B,)
+        legal = jax.vmap(env.legal_mask)(states)
+        acts = np.asarray(rec.action)
+        for b in range(B):
+            assert bool(legal[b, acts[b]])
