@@ -280,8 +280,12 @@ def instantiate_tree(
             "use <= ~2000 simulations or widen _META_BASE handling"
         )
 
-    def tile(x):  # [B, ...] -> [B, N, ...]
-        return jnp.broadcast_to(x[:, None], (B, N) + x.shape[1:])
+    def tile(x):  # [B, ...] -> [B, N, ...] (root in slot 0)
+        # Materialized zeros + row write — NOT broadcast_to: a broadcast
+        # carry defeats XLA's in-place loop aliasing and turns every arena
+        # row update into a whole-array copy per simulation.
+        base = jnp.zeros((B, N) + x.shape[1:], x.dtype)
+        return jax.lax.dynamic_update_index_in_dim(base, x, 0, 1)
 
     states = jax.tree_util.tree_map(tile, _pack_state(root_states, env))
     term = jax.vmap(env.terminal_flag)(root_states)

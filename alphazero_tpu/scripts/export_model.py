@@ -1,0 +1,83 @@
+"""Model export / packaging CLI.
+
+Parity: the reference's export_model.py / simple_export.py /
+package_model.py (TorchScript/ONNX export + distribution zips).  Here the
+deployable artifact is the (msgpack params, JSON config) bundle from
+models/io.py; this tool converts checkpoints to bundles and zips them with
+metadata for distribution.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+import zipfile
+
+
+def export_from_checkpoint(checkpoint_dir, out_path, game, board_size,
+                           blocks, channels, step=None):
+    import jax
+
+    from alphazero_tpu.core import registry
+    from alphazero_tpu.models.io import save_model
+    from alphazero_tpu.models.resnet import AZResNet, ResNetConfig
+    from alphazero_tpu.training.learner import LearnerConfig
+    from alphazero_tpu.training.pipeline import Pipeline, PipelineConfig
+
+    env = registry.create_game(game, board_size)
+    cfg = PipelineConfig(
+        game=game, board_size=board_size,
+        model=ResNetConfig(num_blocks=blocks, channels=channels),
+        checkpoint_dir=checkpoint_dir,
+        learner=LearnerConfig(total_steps=1),
+    )
+    pipe = Pipeline(cfg)
+    restored = pipe.restore_checkpoint(step)
+    save_model(out_path, pipe.state.params, "resnet", env.num_actions,
+               cfg.model)
+    return restored
+
+
+def package(bundle_path, zip_path, metadata=None):
+    meta = {
+        "format": "alphazero_tpu.bundle.v1",
+        "created": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        **(metadata or {}),
+    }
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.write(bundle_path, os.path.basename(bundle_path))
+        z.write(bundle_path + ".json",
+                os.path.basename(bundle_path) + ".json")
+        z.writestr("metadata.json", json.dumps(meta, indent=2))
+    return zip_path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--game", default="gomoku")
+    p.add_argument("--board-size", type=int, default=15)
+    p.add_argument("--blocks", type=int, default=6)
+    p.add_argument("--channels", type=int, default=64)
+    p.add_argument("--output", default="model.msgpack")
+    p.add_argument("--package", default=None,
+                   help="also write a distribution zip here")
+    args = p.parse_args(argv)
+
+    step = export_from_checkpoint(
+        args.checkpoint_dir, args.output, args.game, args.board_size,
+        args.blocks, args.channels, args.step,
+    )
+    out = {"bundle": args.output, "checkpoint_step": step}
+    if args.package:
+        package(args.output, args.package,
+                {"game": args.game, "board_size": args.board_size,
+                 "checkpoint_step": step})
+        out["package"] = args.package
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
