@@ -10,7 +10,7 @@ shape that lets XLA step thousands of boards in lockstep on the MXU/VPU.
 from __future__ import annotations
 
 import enum
-from typing import Any, Callable, NamedTuple, Protocol, Tuple
+from typing import Any, NamedTuple, Protocol, Tuple
 
 import jax
 import jax.numpy as jnp

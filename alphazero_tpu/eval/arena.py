@@ -11,7 +11,7 @@ axis (first half A=black, second half A=white — built-in color swap).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -475,8 +475,20 @@ class GoEnv:
             sw = terr_w.sum() + prisoners[1]
         return sb.astype(jnp.float32), sw.astype(jnp.float32) + self.komi
 
-    def score(self, state: GoState):
-        return self._scores(state.board, state.prisoners)
+    def score(self, state: GoState, dead_stones: jax.Array | None = None):
+        """(score_black, score_white); ``dead_stones`` (bool [N,N]) marks
+        stones agreed dead — they are removed before territory counting and
+        credited as prisoners (reference dead-stone marking + calculateScore,
+        go_state.cpp:766, go_rules.cpp:336-353)."""
+        if dead_stones is None:
+            return self._scores(state.board, state.prisoners)
+        board = jnp.where(dead_stones, jnp.int8(-1), state.board)
+        dead_black = (dead_stones & (state.board == 0)).sum()
+        dead_white = (dead_stones & (state.board == 1)).sum()
+        prisoners = state.prisoners.at[0].add(dead_white).at[1].add(
+            dead_black
+        )
+        return self._scores(board, prisoners)
 
     def territory_ownership(self, state: GoState) -> jax.Array:
         """int8 [N,N]: -1 neutral, 0 black territory, 1 white (reference

@@ -618,7 +618,7 @@ def search(
         return _simulate_once(env, eval_fn, t, sim, config), ()
 
     tree, _ = jax.lax.scan(
-        body, tree, jnp.arange(config.num_simulations), unroll=1
+        body, tree, jnp.arange(config.num_simulations), unroll=2
     )
 
     counts = tree.root_evisits
@@ -652,3 +652,56 @@ def select_action(
     greedy = jnp.argmax(counts, axis=-1)
     pick = jnp.where(temp <= 1e-6, greedy, sampled)
     return jnp.where(any_visits, pick, 0).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Host-driven search: the simulation loop runs in Python with donated
+# buffers instead of inside lax.scan.  Profiling on v5e showed the nested
+# while-in-scan structure forces XLA to copy the big arena carries every
+# iteration (~3ms/sim of pure copy overhead at B=1024); asynchronously
+# dispatched per-sim executables with donate_argnums pipeline at the true
+# compute cost instead.  Use for top-level self-play/bench driving; the
+# jitted `search` remains for composition inside larger programs.
+
+import functools as _functools
+
+
+def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig):
+    """Build a host-driven search callable: (root_states [B...], rng) ->
+    SearchOutput.  Compiles three executables (init / sim-step with donated
+    tree / finalize) and drives the sim loop from Python."""
+
+    @jax.jit
+    def init_fn(root_states, rng):
+        noise_rng, _ = jax.random.split(rng)
+        obs = jax.vmap(env.observation)(root_states)
+        logits, value = eval_fn(obs, jax.vmap(env.to_play)(root_states))
+        return instantiate_tree(env, root_states, logits, value, config,
+                                noise_rng)
+
+    @_functools.partial(jax.jit, donate_argnums=(0,))
+    def sim_fn(tree, sim):
+        return _simulate_once(env, eval_fn, tree, sim, config)
+
+    @jax.jit
+    def finalize_fn(tree):
+        counts = tree.root_evisits
+        weights = counts / jnp.maximum(counts.sum(-1, keepdims=True), 1)
+        root_value = tree.value_sum[:, 0] / jnp.maximum(tree.visits[:, 0], 1)
+        return counts, weights.astype(jnp.float32), root_value
+
+    sims = config.num_simulations
+
+    def run(root_states, rng) -> SearchOutput:
+        tree = init_fn(root_states, rng)
+        for sim in range(sims):
+            tree = sim_fn(tree, sim)
+        counts, weights, root_value = finalize_fn(tree)
+        return SearchOutput(
+            visit_counts=counts,
+            action_weights=weights,
+            root_value=root_value,
+            tree=tree,
+        )
+
+    return run

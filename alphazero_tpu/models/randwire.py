@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from alphazero_tpu.models.resnet import ResNetConfig, SEBlock
+from alphazero_tpu.models.resnet import SEBlock
 
 
 def watts_strogatz_dag(num_nodes: int, k: int, p: float, seed: int

@@ -12,7 +12,7 @@ jitted actor loop).  The random-wire DAG variant lives in
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

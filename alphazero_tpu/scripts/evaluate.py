@@ -40,7 +40,7 @@ def main(argv=None):
     import jax
 
     from alphazero_tpu.core import registry
-    from alphazero_tpu.elo.tracker import EloTracker, elo_change
+    from alphazero_tpu.elo.tracker import EloTracker
     from alphazero_tpu.eval.arena import ArenaConfig, play_match
     from alphazero_tpu.mcts.search import MCTSConfig
 

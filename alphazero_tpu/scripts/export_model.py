@@ -17,11 +17,9 @@ import zipfile
 
 def export_from_checkpoint(checkpoint_dir, out_path, game, board_size,
                            blocks, channels, step=None):
-    import jax
-
     from alphazero_tpu.core import registry
     from alphazero_tpu.models.io import save_model
-    from alphazero_tpu.models.resnet import AZResNet, ResNetConfig
+    from alphazero_tpu.models.resnet import ResNetConfig
     from alphazero_tpu.training.learner import LearnerConfig
     from alphazero_tpu.training.pipeline import Pipeline, PipelineConfig
 

@@ -16,7 +16,6 @@ mesh data axis, not processes.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -144,3 +143,44 @@ def value_targets(output: SelfPlayOutput) -> jax.Array:
         0.0,
         jnp.where(winner == tp, 1.0, -1.0),
     ).astype(jnp.float32)
+
+
+def make_host_actor(env, eval_fn: EvalFn, config: SelfPlayConfig,
+                    batch_size: int):
+    """Host-driven self-play stepper: the per-simulation loop runs in Python
+    with donated tree buffers (see mcts/search.make_host_search — ~3x faster
+    than the scan-carried loop on v5e).  Returns (step, init_states) where
+    ``step(states, rng) -> (new_states, MoveRecord)``."""
+    import functools
+
+    from alphazero_tpu.mcts.search import make_host_search
+
+    run_search = make_host_search(env, eval_fn, config.mcts)
+
+    @jax.jit
+    def act_and_step(states, visit_counts, root_value, act_rng):
+        temp = jnp.where(
+            states.move_count < config.temperature_drop_move,
+            config.temperature,
+            config.final_temperature,
+        ).astype(jnp.float32)
+        action = select_action(act_rng, visit_counts, temp)
+        active = ~jax.vmap(env.terminal_flag)(states)
+        record = MoveRecord(
+            action=action,
+            policy=visit_counts
+            / jnp.maximum(visit_counts.sum(-1, keepdims=True), 1),
+            root_value=root_value,
+            to_play=jax.vmap(env.to_play)(states),
+            active=active,
+            states=None,
+        )
+        return jax.vmap(env.step)(states, action), record
+
+    def step(states, rng):
+        search_rng, act_rng = jax.random.split(rng)
+        out = run_search(states, search_rng)
+        return act_and_step(states, out.visit_counts, out.root_value,
+                            act_rng)
+
+    return step, _batched_init(env, batch_size)

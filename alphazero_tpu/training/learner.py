@@ -10,7 +10,7 @@ TPU replacement for the reference's single-GPU DataLoader epoch loop.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,7 @@ import optax
 from flax import struct
 
 from alphazero_tpu.training import schedulers
-from alphazero_tpu.training.loss import LossOutput, alphazero_loss
+from alphazero_tpu.training.loss import alphazero_loss
 from alphazero_tpu.training.replay import Batch
 
 

@@ -20,14 +20,12 @@ import json
 import logging
 import os
 import time
-from typing import Any, Callable, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from alphazero_tpu.core import registry
-from alphazero_tpu.mcts.search import MCTSConfig
 from alphazero_tpu.models.resnet import AZResNet, ResNetConfig
 from alphazero_tpu.parallel import mesh as meshlib
 from alphazero_tpu.selfplay.actor import (

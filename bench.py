@@ -36,7 +36,7 @@ def main():
     from alphazero_tpu.games.gomoku import GomokuEnv
     from alphazero_tpu.mcts.search import MCTSConfig
     from alphazero_tpu.models.resnet import AZResNet, ResNetConfig
-    from alphazero_tpu.selfplay.actor import SelfPlayConfig, move_once
+    from alphazero_tpu.selfplay.actor import SelfPlayConfig, make_host_actor
 
     env = GomokuEnv(board_size=15)
     model = AZResNet(num_actions=env.num_actions, cfg=ResNetConfig())
@@ -51,12 +51,10 @@ def main():
     config = SelfPlayConfig(
         mcts=MCTSConfig(num_simulations=sims), max_moves=moves
     )
-
-    @jax.jit
-    def step(states, r):
-        return move_once(env, eval_fn, states, r, config)
-
-    states = jax.vmap(lambda _: env.init())(jnp.arange(batch))
+    # Host-driven actor: per-sim executables with donated arenas (see
+    # mcts/search.make_host_search) — measured ~3x over the scanned loop.
+    step, states = make_host_actor(env, eval_fn, config, batch)
+    r0 = jax.random.key(0)
 
     # Warmup/compile.
     t0 = time.perf_counter()

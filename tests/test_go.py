@@ -320,3 +320,22 @@ class TestBatched:
         assert masks.shape == (B, 26)
         obs = jax.vmap(env.observation)(stepped)
         assert obs.shape == (B, 8, 5, 5)
+
+
+class TestDeadStoneScoring:
+    def test_dead_stones_counted(self):
+        env = GoEnv(board_size=5, komi=0.0, chinese_rules=False)
+        n = 5
+        # Black wall col 2; one white stone stranded at (2,0).
+        moves = []
+        for r in range(5):
+            moves += [rc(n, r, 2), rc(n, r, 4)]
+        s = play(env, moves)
+        s = jstep(env)(s, jnp.asarray(rc(n, 2, 0)))  # B plays inside...
+        # Actually mark white (2,4)... simpler: mark one white stone dead.
+        dead = jnp.zeros((5, 5), bool).at[0, 4].set(True)
+        sb, sw = jax.jit(lambda st: env.score(st, dead))(s)
+        sb0, sw0 = jax.jit(lambda st: env.score(st))(s)
+        # Removing a white stone gives black a prisoner (+1) and can only
+        # help black's territory.
+        assert float(sb) >= float(sb0) + 1.0

@@ -187,3 +187,43 @@ class TestMaskedSoftmax:
         legal = jnp.zeros((1, 4), bool)
         p = masked_softmax(logits, legal)
         assert not bool(jnp.any(jnp.isnan(p)))
+
+
+class TestHostSearch:
+    def test_host_matches_jitted(self):
+        from alphazero_tpu.mcts.search import make_host_search
+
+        cfg = MCTSConfig(num_simulations=30, dirichlet_epsilon=0.0)
+        host = make_host_search(ENV, make_uniform_eval_fn(A), cfg)
+        states = batch_init(ENV, 2)
+        out_h = host(states, jax.random.key(3))
+        out_j = jsearch(ENV, cfg)(states, jax.random.key(3))
+        np.testing.assert_array_equal(
+            np.asarray(out_h.visit_counts), np.asarray(out_j.visit_counts)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_h.root_value), np.asarray(out_j.root_value),
+            rtol=1e-5,
+        )
+
+    def test_host_actor_moves_legal(self):
+        from alphazero_tpu.selfplay.actor import (
+            SelfPlayConfig, make_host_actor,
+        )
+
+        cfg = SelfPlayConfig(
+            mcts=MCTSConfig(num_simulations=8, dirichlet_epsilon=0.25,
+                            dirichlet_alpha=0.5),
+            max_moves=10,
+        )
+        step, states = make_host_actor(
+            ENV, make_uniform_eval_fn(A), cfg, batch_size=3
+        )
+        rng = jax.random.key(0)
+        for i in range(3):
+            rng, sub = jax.random.split(rng)
+            legal = jax.vmap(ENV.legal_mask)(states)
+            states, rec = step(states, sub)
+            acts = np.asarray(rec.action)
+            for b in range(3):
+                assert bool(legal[b, acts[b]])
