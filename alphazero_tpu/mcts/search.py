@@ -48,22 +48,9 @@ EvalFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
 UNVISITED = jnp.int32(-1)
 ROOT = jnp.int32(0)
 
-# cmeta packing base: must exceed the action space (chess: 4672).  Packed
-# values must stay exactly representable in f32 (< 2^24), which bounds the
-# arena to (2^24 / _META_BASE) - 2 nodes ~= 2046 simulations.
-_META_BASE = 8192.0
-
-
-def _meta_pack(child: jax.Array, action: jax.Array) -> jax.Array:
-    return (child.astype(jnp.float32) + 1) * _META_BASE + (
-        action.astype(jnp.float32) + 1
-    )
-
-
-def _meta_unpack(meta: jax.Array):
-    child = jnp.floor(meta / _META_BASE)
-    action = meta - child * _META_BASE
-    return (child - 1).astype(jnp.int32), (action - 1).astype(jnp.int32)
+# Child pointers are stored as f16 (exact integers to 2048), which bounds
+# the arena to ~2046 nodes — far above typical 800-simulation searches.
+_MAX_F16_NODES = 2046
 
 
 def _pack_state(state, env=None):
@@ -157,11 +144,13 @@ class Tree:
     terminal: jax.Array  # bool [B, N]
     tvalue: jax.Array  # f32 [B, N] terminal value
     depth: jax.Array  # i32 [B, N]
-    # Top-K children slots of non-root nodes.  cmeta packs (child, action)
-    # per slot into one f32 lane — (child+1)*_META_BASE + (action+1), all
-    # exact in f32 — so the select loop sweeps ONE array instead of two.
+    # Top-K children slots of non-root nodes.  The descent loop sweeps only
+    # prior (bf16) and cchild (f16 — integers <= 2048 are exact); slot env
+    # actions live in caction and are gathered ONCE per simulation after the
+    # descent stops, not每 iteration.
     prior: jax.Array  # bf16 [B, N, K]
-    cmeta: jax.Array  # f32 [B, N, K]; 0 = pad slot
+    cchild: jax.Array  # f16 [B, N, K]; -1 = unexpanded, -2 = pad
+    caction: jax.Array  # f32 [B, N, K]; env action per slot, -1 pad
     states: Any  # env-state pytree, einsum-packed (see _pack_state)
 
     @property
@@ -208,7 +197,7 @@ def _onehot(idx: jax.Array, n: int, dtype=jnp.bfloat16) -> jax.Array:
 def _row_gather(arr3: jax.Array, onehot_b16: jax.Array) -> jax.Array:
     """arr3[b, idx_b, :] for all b via one-hot contraction:
     [B, N] x [B, N, K] -> [B, K]."""
-    if arr3.dtype in (jnp.bfloat16, jnp.float32):
+    if arr3.dtype in (jnp.bfloat16, jnp.float16, jnp.float32):
         return jnp.einsum(
             "bn,bnk->bk", onehot_b16, arr3,
             preferred_element_type=jnp.float32,
@@ -274,10 +263,10 @@ def instantiate_tree(
         ) * noise
         prior = jnp.where(legal, prior, 0.0)
 
-    if (N + 1) * _META_BASE + A + 1 >= 2**24:
+    if N > _MAX_F16_NODES:
         raise ValueError(
-            f"arena of {N} nodes exceeds the f32-exact cmeta packing range; "
-            "use <= ~2000 simulations or widen _META_BASE handling"
+            f"arena of {N} nodes exceeds the f16-exact child-pointer range; "
+            "use <= ~2045 simulations or widen the pointer dtype"
         )
 
     def tile(x):  # [B, ...] -> [B, N, ...] (root in slot 0)
@@ -306,7 +295,8 @@ def instantiate_tree(
         tvalue=jnp.zeros((B, N), jnp.float32).at[:, 0].set(tval),
         depth=jnp.zeros((B, N), jnp.int32),
         prior=jnp.zeros((B, N, K), jnp.bfloat16),
-        cmeta=jnp.zeros((B, N, K), jnp.float32),
+        cchild=jnp.full((B, N, K), -2.0, jnp.float16),
+        caction=jnp.full((B, N, K), -1.0, jnp.float32),
         states=states,
     )
 
@@ -390,8 +380,9 @@ def _select(tree: Tree, config: MCTSConfig) -> _SelectResult:
         stop_terminal = ~c.done & term_here
 
         prior_row = _row_gather(tree.prior, oh)  # f32 [B, K]
-        meta_row = _row_gather(tree.cmeta, oh)  # f32 [B, K]
-        child_row, action_row = _meta_unpack(meta_row)
+        child_row = jnp.round(
+            _row_gather(tree.cchild, oh)
+        ).astype(jnp.int32)  # f16 sweep; integers <= 2048 exact
         # Child stats of every slot via [B, K, N] one-hot contraction.
         cidx = jnp.maximum(child_row, 0)
         oh_children = (
@@ -412,8 +403,8 @@ def _select(tree: Tree, config: MCTSConfig) -> _SelectResult:
         sc = _puct(prior_row, cv, cw, nv, node_value, config)
         k_star = jnp.argmax(sc, axis=-1).astype(jnp.int32)
         oh_k = k_star[:, None] == krange[None, :]
-        act = jnp.sum(jnp.where(oh_k, action_row, 0), axis=-1)
-        child = jnp.sum(jnp.where(oh_k, child_row + 1, 0), axis=-1) - 1
+        child = jnp.sum(jnp.where(oh_k, child_row + 2, 0), axis=-1) - 2
+        child = jnp.maximum(child, -1)  # pad slots (-2) act as unexpanded
 
         stop_expand = ~c.done & ~term_here & (child == UNVISITED)
         advance = ~c.done & ~term_here & (child != UNVISITED)
@@ -425,7 +416,7 @@ def _select(tree: Tree, config: MCTSConfig) -> _SelectResult:
 
         return _Carry(
             node=new_node,
-            action=jnp.where(stop_expand | advance, act, c.action),
+            action=c.action,
             slot=jnp.where(stop_expand | advance, k_star, c.slot),
             done=c.done | stop_terminal | stop_expand,
             leaf_terminal=c.leaf_terminal | stop_terminal,
@@ -437,9 +428,17 @@ def _select(tree: Tree, config: MCTSConfig) -> _SelectResult:
         )
 
     out = jax.lax.while_loop(cond, body, init)
+    # The expansion edge's env action: gathered once from caction (kept out
+    # of the descent loop so only prior+cchild sweep per iteration).
+    act_row = _row_gather(tree.caction, out.oh_node)  # f32 [B, K]
+    k_oh = out.slot[:, None] == jnp.arange(K, dtype=jnp.int32)[None, :]
+    slot_action = jnp.round(
+        jnp.sum(jnp.where(k_oh, act_row, 0.0), axis=-1)
+    ).astype(jnp.int32)
+    action = jnp.where(out.slot < 0, root_action, slot_action)
     return _SelectResult(
         leaf=out.node,
-        action=out.action,
+        action=action,
         slot=out.slot,
         root_action=root_action,
         leaf_terminal=out.leaf_terminal,
@@ -511,10 +510,14 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
         tree.states, _pack_state(child_state, env),
     )
     prior_arr = _write_row(tree.prior, new, topv, expand)
-    meta_new = jnp.where(
-        topv > 0, _meta_pack(jnp.full((B, K), -1), topa), 0.0
+    cchild = _write_row(
+        tree.cchild, new,
+        jnp.where(topv > 0, -1.0, -2.0).astype(jnp.float16), expand,
     )
-    cmeta = _write_row(tree.cmeta, new, meta_new, expand)
+    caction = _write_row(
+        tree.caction, new,
+        jnp.where(topv > 0, topa, -1).astype(jnp.float32), expand,
+    )
     parent = _write_row(tree.parent, new,
                         jnp.where(expand, sel.leaf, -1), expand)
     terminal = _write_row(tree.terminal, new, child_term, expand)
@@ -537,11 +540,7 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
         & oh_leaf_bool[:, :, None]
         & oh_slot[:, None, :]
     )
-    # Rewrite the child part of the packed slot, keep its action part.
-    action_part = cmeta - jnp.floor(cmeta / _META_BASE) * _META_BASE
-    cmeta = jnp.where(
-        link, (new.astype(jnp.float32) + 1) * _META_BASE + action_part, cmeta
-    )
+    cchild = jnp.where(link, new.astype(jnp.float16), cchild)
 
     # --- backprop via the accumulated path masks ---
     leaf_tval = _vec_gather(tree.tvalue, sel.leaf_onehot)
@@ -594,7 +593,8 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
         tvalue=tvalue,
         depth=depth,
         prior=prior_arr,
-        cmeta=cmeta,
+        cchild=cchild,
+        caction=caction,
         states=states,
     )
 

@@ -108,7 +108,8 @@ class AZResNet(nn.Module):
         p = nn.relu(p)
         p = p.reshape((p.shape[0], -1))
         logits = nn.Dense(self.num_actions, dtype=cfg.dtype,
-                          param_dtype=cfg.param_dtype)(p)
+                          param_dtype=cfg.param_dtype,
+                          kernel_init=nn.initializers.zeros)(p)
 
         # Value head (reference: 1x1 conv 32ch + FC256 + tanh).
         v = nn.Conv(cfg.value_channels, (1, 1), dtype=cfg.dtype,
@@ -118,7 +119,10 @@ class AZResNet(nn.Module):
         v = nn.Dense(cfg.value_hidden, dtype=cfg.dtype,
                      param_dtype=cfg.param_dtype)(v)
         v = nn.relu(v)
-        v = nn.Dense(1, dtype=cfg.dtype, param_dtype=cfg.param_dtype)(v)
+        # Zero-init final layers: with Adam, a fan-in-scaled init saturates
+        # the tanh within tens of steps (grad ~ 0, value stuck at +-1).
+        v = nn.Dense(1, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                     kernel_init=nn.initializers.zeros)(v)
         value = jnp.tanh(v.astype(jnp.float32)).squeeze(-1)
         return logits.astype(jnp.float32), value
 
