@@ -666,22 +666,35 @@ def select_action(
 import functools as _functools
 
 
-def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig):
-    """Build a host-driven search callable: (root_states [B...], rng) ->
-    SearchOutput.  Compiles three executables (init / sim-step with donated
-    tree / finalize) and drives the sim loop from Python."""
+def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig,
+                     with_params: bool = False):
+    """Build a host-driven search callable — ``(root_states, rng)`` or, with
+    ``with_params``, ``(params, root_states, rng)`` (params threaded as a
+    jit argument so weight updates don't retrace) -> SearchOutput.
+    Compiles three executables (init / sim-step with donated tree /
+    finalize) and drives the sim loop from Python."""
+
+    if with_params:
+        param_eval = eval_fn
+    else:
+        def param_eval(_, obs, to_play):
+            return eval_fn(obs, to_play)
 
     @jax.jit
-    def init_fn(root_states, rng):
+    def init_fn(params, root_states, rng):
         noise_rng, _ = jax.random.split(rng)
         obs = jax.vmap(env.observation)(root_states)
-        logits, value = eval_fn(obs, jax.vmap(env.to_play)(root_states))
+        logits, value = param_eval(
+            params, obs, jax.vmap(env.to_play)(root_states)
+        )
         return instantiate_tree(env, root_states, logits, value, config,
                                 noise_rng)
 
-    @_functools.partial(jax.jit, donate_argnums=(0,))
-    def sim_fn(tree, sim):
-        return _simulate_once(env, eval_fn, tree, sim, config)
+    @_functools.partial(jax.jit, donate_argnums=(1,))
+    def sim_fn(params, tree, sim):
+        return _simulate_once(
+            env, lambda o, tp: param_eval(params, o, tp), tree, sim, config
+        )
 
     @jax.jit
     def finalize_fn(tree):
@@ -692,10 +705,10 @@ def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig):
 
     sims = config.num_simulations
 
-    def run(root_states, rng) -> SearchOutput:
-        tree = init_fn(root_states, rng)
+    def run_with_params(params, root_states, rng) -> SearchOutput:
+        tree = init_fn(params, root_states, rng)
         for sim in range(sims):
-            tree = sim_fn(tree, sim)
+            tree = sim_fn(params, tree, sim)
         counts, weights, root_value = finalize_fn(tree)
         return SearchOutput(
             visit_counts=counts,
@@ -704,4 +717,6 @@ def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig):
             tree=tree,
         )
 
-    return run
+    if with_params:
+        return run_with_params
+    return lambda root_states, rng: run_with_params(None, root_states, rng)

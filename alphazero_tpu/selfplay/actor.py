@@ -146,16 +146,18 @@ def value_targets(output: SelfPlayOutput) -> jax.Array:
 
 
 def make_host_actor(env, eval_fn: EvalFn, config: SelfPlayConfig,
-                    batch_size: int):
+                    batch_size: int, with_params: bool = False,
+                    record_states: bool = False):
     """Host-driven self-play stepper: the per-simulation loop runs in Python
     with donated tree buffers (see mcts/search.make_host_search — ~3x faster
     than the scan-carried loop on v5e).  Returns (step, init_states) where
-    ``step(states, rng) -> (new_states, MoveRecord)``."""
-    import functools
-
+    ``step(states, rng)`` — or ``step(params, states, rng)`` when
+    ``with_params`` (params as jit args so weight refreshes don't retrace) —
+    yields ``(new_states, MoveRecord)``."""
     from alphazero_tpu.mcts.search import make_host_search
 
-    run_search = make_host_search(env, eval_fn, config.mcts)
+    run_search = make_host_search(env, eval_fn, config.mcts,
+                                  with_params=with_params)
 
     @jax.jit
     def act_and_step(states, visit_counts, root_value, act_rng):
@@ -173,14 +175,21 @@ def make_host_actor(env, eval_fn: EvalFn, config: SelfPlayConfig,
             root_value=root_value,
             to_play=jax.vmap(env.to_play)(states),
             active=active,
-            states=None,
+            states=states if record_states else None,
         )
         return jax.vmap(env.step)(states, action), record
 
-    def step(states, rng):
-        search_rng, act_rng = jax.random.split(rng)
-        out = run_search(states, search_rng)
-        return act_and_step(states, out.visit_counts, out.root_value,
-                            act_rng)
+    if with_params:
+        def step(params, states, rng):
+            search_rng, act_rng = jax.random.split(rng)
+            out = run_search(params, states, search_rng)
+            return act_and_step(states, out.visit_counts, out.root_value,
+                                act_rng)
+    else:
+        def step(states, rng):
+            search_rng, act_rng = jax.random.split(rng)
+            out = run_search(states, search_rng)
+            return act_and_step(states, out.visit_counts, out.root_value,
+                                act_rng)
 
     return step, _batched_init(env, batch_size)

@@ -65,6 +65,10 @@ class PipelineConfig:
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 5
     checkpoint_replay: bool = False
+    # Drive the per-simulation loop from the host with donated arenas
+    # (mcts/search.make_host_search) — ~3x faster than the scanned actor on
+    # v5e, and games that all finish early stop the move loop.
+    host_actor: bool = True
     seed: int = 0
 
 
@@ -105,16 +109,31 @@ class Pipeline:
         repl = meshlib.replicated(self.mesh)
         dsh = meshlib.data_sharding(self.mesh)
 
-        def actor_fn(params, rng):
-            def eval_fn(obs, to_play=None):
+        if cfg.host_actor:
+            from alphazero_tpu.selfplay.actor import make_host_actor
+
+            def eval_params(params, obs, to_play):
                 return model.apply(params, obs)
 
-            return play_games(
-                env, eval_fn, rng, cfg.selfplay,
-                batch_size=cfg.games_per_iteration, record_states=True,
+            self._host_step, self._host_init = make_host_actor(
+                env, eval_params, cfg.selfplay, cfg.games_per_iteration,
+                with_params=True, record_states=True,
             )
+            self._all_done = jax.jit(
+                lambda st: jax.vmap(env.terminal_flag)(st).all()
+            )
+            self._actor = self._run_host_actor
+        else:
+            def actor_fn(params, rng):
+                def eval_fn(obs, to_play=None):
+                    return model.apply(params, obs)
 
-        self._actor = jax.jit(actor_fn)
+                return play_games(
+                    env, eval_fn, rng, cfg.selfplay,
+                    batch_size=cfg.games_per_iteration, record_states=True,
+                )
+
+            self._actor = jax.jit(actor_fn)
 
         def ingest_fn(buffer, out):
             """Flatten [T, B] move records into the replay ring."""
@@ -145,6 +164,41 @@ class Pipeline:
             return state, mean
 
         self._train = jax.jit(train_fn, out_shardings=(repl, repl))
+
+    def _run_host_actor(self, params, rng):
+        """Host-driven move loop; breaks (at 16-move granularity, to bound
+        jit shape variants) once every game is finished."""
+        import jax.numpy as jnp
+
+        from alphazero_tpu.selfplay.actor import SelfPlayOutput
+
+        env = self.env
+        states = self._host_init
+        recs = []
+        for t in range(self.config.selfplay.max_moves):
+            rng, sub = jax.random.split(rng)
+            states, rec = self._host_step(params, states, sub)
+            recs.append(rec)
+            if (t + 1) % 16 == 0 and bool(self._all_done(states)):
+                break
+
+        def stack(*xs):
+            return jnp.stack(xs)
+
+        stacked = jax.tree_util.tree_map(stack, *recs)
+        winner = jax.vmap(env.winner)(states)
+        length = stacked.active.sum(axis=0).astype(jnp.int32)
+        return SelfPlayOutput(
+            states=states,
+            actions=stacked.action,
+            policies=stacked.policy,
+            root_values=stacked.root_value,
+            to_play=stacked.to_play,
+            active=stacked.active,
+            winner=winner,
+            length=length,
+            move_states=stacked.states,
+        )
 
     # ---- public API ------------------------------------------------------
 
