@@ -34,7 +34,11 @@ def main(argv=None):
     from alphazero_tpu.mcts.search import MCTSConfig
     from alphazero_tpu.models.stub import make_uniform_eval_fn
     from alphazero_tpu.selfplay import game_record
-    from alphazero_tpu.selfplay.actor import SelfPlayConfig, play_games
+    from alphazero_tpu.selfplay.actor import (
+        SelfPlayConfig,
+        SelfPlayOutput,
+        make_host_actor,
+    )
 
     env = registry.create_game(args.game, args.board_size)
     if args.model:
@@ -57,12 +61,33 @@ def main(argv=None):
         temperature_drop_move=args.temperature_drop,
     )
 
-    fn = jax.jit(
-        lambda r: play_games(env, eval_fn, r, config,
-                             batch_size=args.num_games)
-    )
+    import jax.numpy as jnp
+
+    # Host-driven actor (donated arenas) with early termination.
+    step, states = make_host_actor(env, eval_fn, config, args.num_games)
+    all_done = jax.jit(lambda st: jax.vmap(env.terminal_flag)(st).all())
+    rng = jax.random.key(args.seed)
     t0 = time.perf_counter()
-    out = fn(jax.random.key(args.seed))
+    recs = []
+    for t in range(config.max_moves):
+        rng, sub = jax.random.split(rng)
+        states, rec = step(states, sub)
+        recs.append(rec)
+        if (t + 1) % 16 == 0 and bool(all_done(states)):
+            break
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *recs)
+    winner = jax.vmap(env.winner)(states)
+    out = SelfPlayOutput(
+        states=states,
+        actions=stacked.action,
+        policies=stacked.policy,
+        root_values=stacked.root_value,
+        to_play=stacked.to_play,
+        active=stacked.active,
+        winner=winner,
+        length=stacked.active.sum(axis=0).astype(jnp.int32),
+        move_states=None,
+    )
     jax.block_until_ready(out.winner)
     elapsed = time.perf_counter() - t0
 
