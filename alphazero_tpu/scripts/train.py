@@ -15,6 +15,9 @@ import logging
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None,
+                   help="pipeline config JSON (see config/*.json); other "
+                        "flags are ignored when set except --resume")
     p.add_argument("--game", default="gomoku",
                    choices=["gomoku", "go", "chess"])
     p.add_argument("--board-size", type=int, default=15)
@@ -52,6 +55,15 @@ def main(argv=None):
     from alphazero_tpu.selfplay.actor import SelfPlayConfig
     from alphazero_tpu.training.learner import LearnerConfig
     from alphazero_tpu.training.pipeline import Pipeline, PipelineConfig
+
+    if args.config:
+        from alphazero_tpu.utils.config import load_config
+
+        pipe = Pipeline(load_config(PipelineConfig, args.config))
+        if args.resume:
+            logging.info("resumed from %s", pipe.restore_checkpoint())
+        pipe.run()
+        return
 
     game_options = []
     if args.game == "gomoku":

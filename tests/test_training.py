@@ -158,3 +158,36 @@ class TestTrainStep:
             state, m = step(state, batch)
         assert float(m.loss) < float(m0.loss)
         assert int(state.step) == 30
+
+
+class TestConfigSystem:
+    def test_roundtrip(self, tmp_path):
+        from alphazero_tpu.training.pipeline import PipelineConfig
+        from alphazero_tpu.utils.config import (
+            default_pipeline_config,
+            from_dict,
+            load_config,
+            save_config,
+            to_dict,
+        )
+
+        cfg = default_pipeline_config("gomoku", 9)
+        p = str(tmp_path / "cfg.json")
+        save_config(cfg, p)
+        cfg2 = load_config(PipelineConfig, p)
+        assert cfg2.board_size == 9
+        assert cfg2.selfplay.mcts.num_simulations == \
+            cfg.selfplay.mcts.num_simulations
+        assert cfg2.model.channels == cfg.model.channels
+
+    def test_shipped_configs_load(self):
+        import glob
+
+        from alphazero_tpu.training.pipeline import PipelineConfig
+        from alphazero_tpu.utils.config import load_config
+
+        paths = glob.glob("config/*.json")
+        assert len(paths) >= 3
+        for p in paths:
+            cfg = load_config(PipelineConfig, p)
+            assert cfg.games_per_iteration > 0
