@@ -35,14 +35,20 @@ class TestAZResNet:
         assert dtypes == {jnp.dtype(jnp.float32)}
 
     def test_differentiable(self):
+        from alphazero_tpu.training.loss import alphazero_loss
+
         model = AZResNet(num_actions=49,
                          cfg=ResNetConfig(num_blocks=1, channels=16))
         obs = jax.random.normal(jax.random.key(2), (2, 11, 7, 7))
         params = model.init(jax.random.key(0), obs)
+        target = jnp.zeros((2, 49)).at[:, 3].set(1.0)
 
         def loss(p):
             logits, value = model.apply(p, obs)
-            return jnp.sum(logits**2) + jnp.sum(value**2)
+            # Heads are zero-initialized (saturation guard), so use the real
+            # loss — its gradient is nonzero at zero outputs.
+            return alphazero_loss(logits, value, target,
+                                  jnp.ones((2,))).total
 
         grads = jax.grad(loss)(params)
         gnorm = sum(
