@@ -146,3 +146,106 @@ def fen_from_state(state) -> str:
     half = int(state.halfmove)
     full = int(state.move_count) // 2 + 1
     return f"{placement} {stm} {rights} {ep_s} {half} {full}"
+
+
+def action_to_san(env, state, action: int) -> str:
+    """Standard Algebraic Notation for a legal action in ``state``
+    (reference SAN support, chess_state.cpp SAN section).  Host-side."""
+    import numpy as np
+
+    from alphazero_tpu.games import chess_tables as T
+    from alphazero_tpu.games.chess_tables import (
+        BISHOP, KING, KNIGHT, PAWN, QUEEN, ROOK,
+    )
+
+    piece_letter = {KNIGHT: "N", BISHOP: "B", ROOK: "R", QUEEN: "Q",
+                    KING: "K"}
+    board = np.asarray(state.board)
+    legal = np.asarray(env.legal_mask(state))
+    if not legal[action]:
+        raise ValueError("action is not legal in this position")
+
+    import jax.numpy as jnp
+
+    after = env.step(state, jnp.asarray(action))
+    suffix = ""
+    if bool(after.terminal) and int(after.winner) >= 0:
+        suffix = "#"
+    elif bool(after.in_check):
+        suffix = "+"
+
+    from_sq, mtype = divmod(int(action), 73)
+    fr, fc = divmod(from_sq, 8)
+    p = int(board[fr, fc])
+    ptype = p % 6
+    us = p // 6
+
+    # Resolve target square like step() does.
+    tab = T.TABLES
+    if tab["is_knight"][mtype]:
+        dr, dc = T.KNIGHT_OFFSETS[mtype - 56]
+    elif mtype >= 64:
+        fwd = 1 if us == 0 else -1
+        dr, dc = fwd, (0, -1, 1)[(mtype - 64) // 3]
+    else:
+        d, dist = int(tab["dir_of"][mtype]), int(tab["dist_of"][mtype])
+        dr, dc = T.QUEEN_DIRS[d][0] * dist, T.QUEEN_DIRS[d][1] * dist
+    tr, tc = fr + dr, fc + dc
+    target = int(board[tr, tc])
+
+    # Castling (KxR encoding).
+    if ptype == KING and target >= 0 and target // 6 == us and \
+            target % 6 == ROOK:
+        return ("O-O" if tc > fc else "O-O-O") + suffix
+
+    dest = alg_from_square(tr * 8 + tc)
+    capture = target >= 0 or (
+        ptype == PAWN and dc != 0 and target < 0  # en passant
+    )
+
+    if ptype == PAWN:
+        out = (chr(ord("a") + fc) + "x" + dest) if capture else dest
+        if mtype >= 64:
+            promo = T.UNDERPROMO_PIECES[(mtype - 64) % 3]
+            out += "=" + piece_letter[promo]
+        elif tr in (0, 7):
+            out += "=Q"
+        return out + suffix
+
+    # Disambiguation: other same-type pieces that can legally reach dest.
+    amb_file = amb_rank = False
+    need = False
+    legal2 = legal.reshape(64, 73)
+    for s in range(64):
+        if s == from_sq:
+            continue
+        pp = int(board[s // 8, s % 8])
+        if pp != p:
+            continue
+        for t in range(73):
+            if not legal2[s, t]:
+                continue
+            if tab["is_knight"][t]:
+                odr, odc = T.KNIGHT_OFFSETS[t - 56]
+            elif t >= 64:
+                continue
+            else:
+                dd, dist2 = int(tab["dir_of"][t]), int(tab["dist_of"][t])
+                odr, odc = (T.QUEEN_DIRS[dd][0] * dist2,
+                            T.QUEEN_DIRS[dd][1] * dist2)
+            if (s // 8 + odr, s % 8 + odc) == (tr, tc):
+                need = True
+                if s % 8 == fc:
+                    amb_rank = True
+                else:
+                    amb_file = True
+    dis = ""
+    if need:
+        if amb_file and amb_rank:
+            dis = alg_from_square(from_sq)
+        elif amb_rank:
+            dis = str(fr + 1)
+        else:
+            dis = chr(ord("a") + fc)
+    return (piece_letter[ptype] + dis + ("x" if capture else "") + dest
+            + suffix)

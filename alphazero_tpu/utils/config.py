@@ -34,6 +34,9 @@ def from_dict(cls: Type, d: Dict) -> Any:
         if f.name not in d:
             continue
         v = d[f.name]
+        if isinstance(v, str) and v.startswith("<class"):
+            # Stringified dtype/class from to_dict — keep the field default.
+            continue
         t = f.type if isinstance(f.type, type) else None
         default = (
             f.default

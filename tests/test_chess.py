@@ -343,3 +343,43 @@ class TestObservation:
         assert obs.shape == (B, 18, 8, 8)
         masks = jax.vmap(ENV.legal_mask)(states)
         assert int(masks.sum()) == 40
+
+
+class TestSAN:
+    def test_basic_san(self):
+        from alphazero_tpu.games.chess_fen import action_to_san
+
+        s = ENV.init()
+        assert action_to_san(
+            ENV, s, T.encode_move(square_from_alg("e2"), square_from_alg("e4"))
+        ) == "e4"
+        assert action_to_san(
+            ENV, s, T.encode_move(square_from_alg("g1"), square_from_alg("f3"))
+        ) == "Nf3"
+
+    def test_castle_capture_mate_san(self):
+        from alphazero_tpu.games.chess_fen import action_to_san
+
+        s = state_from_fen(
+            ENV, "r3k2r/pppppppp/8/8/8/8/PPPPPPPP/R3K2R w KQkq - 0 1"
+        )
+        assert action_to_san(
+            ENV, s, T.encode_move(square_from_alg("e1"), square_from_alg("h1"))
+        ) == "O-O"
+        # Fool's mate finish: Qh4#.
+        s2 = ENV.init()
+        s2 = move(s2, "f2", "f3")
+        s2 = move(s2, "e7", "e5")
+        s2 = move(s2, "g2", "g4")
+        assert action_to_san(
+            ENV, s2,
+            T.encode_move(square_from_alg("d8"), square_from_alg("h4")),
+        ) == "Qh4#"
+
+    def test_disambiguation(self):
+        from alphazero_tpu.games.chess_fen import action_to_san
+
+        s = state_from_fen(ENV, "k7/8/8/8/8/8/8/K2R3R w - - 0 1")
+        assert action_to_san(
+            ENV, s, T.encode_move(square_from_alg("d1"), square_from_alg("f1"))
+        ) == "Rdf1"

@@ -296,3 +296,52 @@ class TestProLongOpening:
         assert not bool(legal[rc(15, 7, 6)])  # too close to center
         assert not bool(legal[rc(15, 9, 9)])  # chebyshev 2, too close
         assert bool(legal[rc(15, 7, 10)])  # chebyshev 3, fine
+
+
+class TestRenjuClassicPositions:
+    """Deeper Renju forbidden-point cases (gomoku_rules.cpp recursion
+    family)."""
+
+    env = GomokuEnv(board_size=15, use_renju=True)
+
+    def board(self, black, white=()):
+        b = np.full((15, 15), -1, np.int8)
+        for r, c in black:
+            b[r, c] = 0
+        for r, c in white:
+            b[r, c] = 1
+        return jnp.asarray(b)
+
+    def test_four_three_allowed(self):
+        # A four + a three at the same point is NOT forbidden (only 4-4 and
+        # 3-3 are).  Horizontal four threat + vertical open three at (7,7).
+        black = [(7, 4), (7, 5), (7, 6), (5, 7), (6, 7)]
+        white = [(7, 3)]  # blocks left end -> horizontal is a simple four
+        board = self.board(black, white)
+        forbidden, five = jforbidden(self.env)(board == 0, board == 1)
+        assert not bool(forbidden[7, 7])
+
+    def test_three_blocked_by_edge_not_open(self):
+        # Vertical "three" against the board edge cannot become a straight
+        # four -> not an open three -> no double-three at (1,7).
+        black = [(0, 7), (2, 7), (1, 5), (1, 6)]
+        board = self.board(black)
+        forbidden, _ = jforbidden(self.env)(board == 0, board == 1)
+        # (1,7) completes a vertical group 0-2 (blocked by edge above: row -1
+        # off-board) and a horizontal .BBB. (open).  Only one OPEN three.
+        assert not bool(forbidden[1, 7])
+
+    def test_double_three_diagonals(self):
+        # Two diagonal open threes crossing at (7,7).
+        black = [(5, 5), (6, 6), (5, 9), (6, 8)]
+        board = self.board(black)
+        forbidden, _ = jforbidden(self.env)(board == 0, board == 1)
+        assert bool(forbidden[7, 7])
+
+    def test_overline_through_gap(self):
+        # B B p B B B -> placing p makes six: overline, forbidden.
+        black = [(7, 3), (7, 4), (7, 6), (7, 7), (7, 8)]
+        board = self.board(black)
+        forbidden, five = jforbidden(self.env)(board == 0, board == 1)
+        assert bool(forbidden[7, 5])
+        assert not bool(five[7, 5])
