@@ -237,10 +237,38 @@ class Pipeline:
             "train_s": round(train_s, 2),
             "moves_per_s": round(moves / max(actor_s, 1e-9), 1),
             **metrics,
+            **self._resource_stats(),
         }
         self.history.append(entry)
         log.info("iter %s: %s", it, entry)
         return entry
+
+    def _resource_stats(self) -> Dict:
+        """Device/host memory snapshot per iteration — the reference's
+        psutil/nvidia-smi monitoring CSV analog
+        (orchestrate_selfplay.py:600-640)."""
+        out = {}
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            if "bytes_in_use" in stats:
+                out["device_mem_mb"] = round(
+                    stats["bytes_in_use"] / 1e6, 1
+                )
+            if "peak_bytes_in_use" in stats:
+                out["device_peak_mb"] = round(
+                    stats["peak_bytes_in_use"] / 1e6, 1
+                )
+        except Exception:  # noqa: BLE001 — stats optional per backend
+            pass
+        try:
+            import resource
+
+            out["host_rss_mb"] = round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e3, 1
+            )
+        except Exception:  # noqa: BLE001
+            pass
+        return out
 
     def run(self, iterations: Optional[int] = None):
         n = iterations or self.config.iterations
