@@ -67,21 +67,67 @@ def _neighbors(x: jax.Array) -> jax.Array:
     return up | down | left | right
 
 
+# Flood fills / label propagation are implemented as SEGMENTED SCANS along
+# rows and columns (log-depth jax.lax.associative_scan) repeated for a
+# static number of sweeps — dynamic while_loops over tiny bodies cost
+# ~50-100us per iteration on TPU and dominated the Go step (32ms/batch);
+# static scans trace to pure VPU work.  One (row, col) sweep propagates
+# information along any single "L" of a path; a path with k bends needs
+# ceil(k/2)+1 sweeps, and a worst-case spiral in an N x N region has ~2N-2
+# bends, so N+2 sweeps are exact for any group shape.
+
+
+def _seg_or_scan(x: jax.Array, region: jax.Array, axis: int) -> jax.Array:
+    """Within contiguous True-runs of ``region`` along ``axis``: every cell
+    gets the OR of x over its whole run (outside region -> False)."""
+
+    def combine(a, b):
+        ab, av = a
+        bb, bv = b
+        # bb marks a segment boundary at b's start: value does not flow.
+        return ab | bb, jnp.where(bb, bv, av | bv)
+
+    boundary = ~region
+
+    def scan(xx, reverse):
+        _, v = jax.lax.associative_scan(
+            combine, (boundary, xx & region), axis=axis, reverse=reverse
+        )
+        return v
+
+    return (scan(x, False) | scan(x, True)) & region
+
+
+def _seg_min_scan(x: jax.Array, region: jax.Array, axis: int,
+                  big: int) -> jax.Array:
+    """Segmented running-min along ``axis`` (both directions) within
+    region runs; outside region -> big."""
+
+    def combine(a, b):
+        ab, av = a
+        bb, bv = b
+        return ab | bb, jnp.where(bb, bv, jnp.minimum(av, bv))
+
+    boundary = ~region
+    xm = jnp.where(region, x, big)
+
+    def scan(reverse):
+        _, v = jax.lax.associative_scan(
+            combine, (boundary, xm), axis=axis, reverse=reverse
+        )
+        return v
+
+    return jnp.where(region, jnp.minimum(scan(False), scan(True)), big)
+
+
 def _flood(seed: jax.Array, region: jax.Array) -> jax.Array:
-    """Fixed-point flood: grow ``seed`` through ``region`` via 4-adjacency."""
-    seed = seed & region
-
-    def cond(carry):
-        cur, changed = carry
-        return changed
-
-    def body(carry):
-        cur, _ = carry
-        nxt = (cur | (_neighbors(cur) & region))
-        return nxt, jnp.any(nxt != cur)
-
-    out, _ = jax.lax.while_loop(cond, body, (seed, jnp.array(True)))
-    return out
+    """Grow ``seed`` through ``region`` via 4-adjacency (exact)."""
+    n = region.shape[0]
+    x = seed & region
+    for _ in range(n + 2):
+        x = _seg_or_scan(x, region, axis=1)
+        x = _seg_or_scan(x, region, axis=0)
+    return x
 
 
 def _group_ids(stones: jax.Array) -> jax.Array:
@@ -92,27 +138,10 @@ def _group_ids(stones: jax.Array) -> jax.Array:
     size = n * n
     idx = jnp.arange(size, dtype=jnp.int32).reshape(n, n)
     ids = jnp.where(stones, idx, size)
-
-    def nmin(x):
-        big = jnp.full_like(x, size)
-        up = jnp.concatenate([x[1:], big[:1]], axis=0)
-        down = jnp.concatenate([big[:1], x[:-1]], axis=0)
-        left = jnp.concatenate([x[:, 1:], big[:, :1]], axis=1)
-        right = jnp.concatenate([big[:, :1], x[:, :-1]], axis=1)
-        return jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
-
-    def cond(carry):
-        cur, changed = carry
-        return changed
-
-    def body(carry):
-        cur, _ = carry
-        neigh = jnp.where(stones, nmin(jnp.where(stones, cur, size)), size)
-        nxt = jnp.where(stones, jnp.minimum(cur, neigh), size)
-        return nxt, jnp.any(nxt != cur)
-
-    ids, _ = jax.lax.while_loop(cond, body, (ids, jnp.array(True)))
-    return ids
+    for _ in range(n + 2):
+        ids = _seg_min_scan(ids, stones, axis=1, big=size)
+        ids = _seg_min_scan(ids, stones, axis=0, big=size)
+    return jnp.where(stones, ids, size)
 
 
 def _neighbor_ids(ids: jax.Array, size: int):

@@ -339,3 +339,38 @@ class TestDeadStoneScoring:
         # Removing a white stone gives black a prisoner (+1) and can only
         # help black's territory.
         assert float(sb) >= float(sb0) + 1.0
+
+
+class TestFloodSpiralStress:
+    """Worst-case group shapes for the segmented-scan flood (max bends)."""
+
+    def test_serpentine_group_single_id(self):
+        """Serpentine path: maximal bends for the sweep-based flood."""
+        from alphazero_tpu.games.go import _flood, _group_ids
+
+        n = 9
+        grid = np.zeros((n, n), bool)
+        for r in range(0, n, 2):
+            grid[r, :] = True
+        for r in range(1, n, 2):
+            grid[r, (n - 1) if (r // 2) % 2 == 0 else 0] = True
+        stones = jnp.asarray(grid)
+        seed = jnp.zeros((n, n), bool).at[0, 0].set(True)
+        out = jax.jit(_flood)(seed, stones)
+        np.testing.assert_array_equal(np.asarray(out), grid)
+        ids = jax.jit(_group_ids)(stones)
+        vals = np.asarray(ids)[grid]
+        assert (vals == vals[0]).all()
+
+    def test_two_disjoint_regions(self):
+        from alphazero_tpu.games.go import _flood
+
+        n = 5
+        region = np.zeros((n, n), bool)
+        region[0, :2] = True
+        region[4, 3:] = True
+        seed = jnp.zeros((n, n), bool).at[0, 0].set(True)
+        out = jax.jit(_flood)(seed, jnp.asarray(region))
+        expect = np.zeros((n, n), bool)
+        expect[0, :2] = True
+        np.testing.assert_array_equal(np.asarray(out), expect)
