@@ -117,6 +117,13 @@ class MCTSConfig:
     max_children: int = 32
     # Hard cap on descent depth (latency bound / safety).
     max_depth: int = 128
+    # TD(λ) backprop (reference useTemporalDifference/tdLambda,
+    # parallel_mcts.h:52-53, backprop at parallel_mcts.cpp:825-833):
+    # walking leaf->root, after each sign flip the value is mixed with the
+    # parent's current mean, v <- (1-λ)·(-parent_mean) + λ·v  (the reference
+    # mixes the *negated* parent mean; replicated as-is).  None = off (the
+    # default): backprop is the one-shot path-mask fast path.
+    td_lambda: float | None = None
 
     @property
     def num_nodes(self) -> int:
@@ -242,13 +249,15 @@ def _puct(
 
 
 def instantiate_tree(
-    env, root_states, root_logits, root_value, config: MCTSConfig, rng=None
+    env, root_states, root_logits, root_value, config: MCTSConfig, rng=None,
+    capacity: int | None = None,
 ) -> Tree:
     """Allocate arenas and install the evaluated root (with Dirichlet
     exploration noise when ``rng`` is given; reference ``addDirichletNoise``,
-    parallel_mcts.cpp:1110)."""
+    parallel_mcts.cpp:1110).  ``capacity`` overrides the arena node count
+    (the host-driven loop starts small and grows — see ``grow_tree``)."""
     B = root_value.shape[0]
-    N = config.num_nodes
+    N = config.num_nodes if capacity is None else capacity
     A = root_logits.shape[-1]
     K = min(config.max_children, A)
 
@@ -263,7 +272,7 @@ def instantiate_tree(
         ) * noise
         prior = jnp.where(legal, prior, 0.0)
 
-    if N > _MAX_F16_NODES:
+    if max(N, config.num_nodes) > _MAX_F16_NODES:
         raise ValueError(
             f"arena of {N} nodes exceeds the f16-exact child-pointer range; "
             "use <= ~2045 simulations or widen the pointer dtype"
@@ -299,6 +308,49 @@ def instantiate_tree(
         caction=jnp.full((B, N, K), -1.0, jnp.float32),
         states=states,
     )
+
+
+def grow_tree(tree: Tree, new_capacity: int) -> Tree:
+    """Pad every node-indexed arena from ``tree.capacity`` to
+    ``new_capacity`` rows (fill values matching ``instantiate_tree``'s
+    virgin slots, so grown and full-size trees are bit-identical).
+
+    Arena rows are allocated densely at slot ``sim + 1``, so during
+    simulation ``s`` only ``s + 2`` rows are live — but every one-hot sweep
+    in the descent reads the *whole* arena.  The host-driven loop therefore
+    starts with a small arena and grows it through a power-of-two capacity
+    schedule, cutting the O(B·N·K) sweep traffic of early simulations
+    (~1.6x average traffic reduction at 800 sims; the copy itself is one
+    O(B·N·K) pass per bucket crossing, amortized over that bucket's sims)."""
+
+    def pad(x, fill):
+        pads = [(0, 0)] * x.ndim
+        pads[1] = (0, new_capacity - x.shape[1])
+        return jnp.pad(x, pads, constant_values=fill)
+
+    return tree.replace(
+        visits=pad(tree.visits, 0),
+        value_sum=pad(tree.value_sum, 0.0),
+        parent=pad(tree.parent, -1),
+        terminal=pad(tree.terminal, False),
+        tvalue=pad(tree.tvalue, 0.0),
+        depth=pad(tree.depth, 0),
+        prior=pad(tree.prior, 0.0),
+        cchild=pad(tree.cchild, -2.0),
+        caction=pad(tree.caction, -1.0),
+        states=jax.tree_util.tree_map(lambda x: pad(x, 0), tree.states),
+    )
+
+
+def _capacity_schedule(num_nodes: int, start: int = 64) -> list:
+    """Power-of-two capacity buckets ending exactly at ``num_nodes``."""
+    caps = []
+    c = min(start, num_nodes)
+    while c < num_nodes:
+        caps.append(c)
+        c *= 2
+    caps.append(num_nodes)
+    return caps
 
 
 class _SelectResult(NamedTuple):
@@ -474,6 +526,74 @@ def _gather_leaf_states(states_packed, onehot_bf16, B, N):
     return jax.tree_util.tree_map(gather, states_packed)
 
 
+class _TDCarry(NamedTuple):
+    oh: jax.Array  # bf16 [B, N] one-hot of the node being updated
+    val: jax.Array  # f32 [B] value applied at that node
+    active: jax.Array  # bool [B]
+    visits: jax.Array  # i32 [B, N]
+    value_sum: jax.Array  # f32 [B, N]
+    edge_val: jax.Array  # f32 [B] value recorded at the depth-1 node
+    edge_hit: jax.Array  # bool [B]
+
+
+def _backprop_td(start: jax.Array, leaf_val: jax.Array,
+                 visits: jax.Array, value_sum: jax.Array,
+                 config: MCTSConfig, parent: jax.Array):
+    """Sequential leaf->root backprop with the reference's TD(λ) mixing
+    (parallel_mcts.cpp:800-833): update node, flip sign, then
+    v <- (1-λ)·(-parent_mean) + λ·v before updating the parent.  Returns
+    (visits, value_sum, edge_val [B], edge_hit [B]) where edge_* capture the
+    value applied at the depth-1 node (feeds the dense root edge stats)."""
+    B, N = visits.shape
+    lam = jnp.float32(config.td_lambda)
+
+    init = _TDCarry(
+        oh=_onehot(start, N),
+        val=leaf_val,
+        active=jnp.ones((B,), bool),
+        visits=visits,
+        value_sum=value_sum,
+        edge_val=jnp.zeros((B,), jnp.float32),
+        edge_hit=jnp.zeros((B,), bool),
+    )
+
+    def cond(c: _TDCarry):
+        return jnp.any(c.active)
+
+    def body(c: _TDCarry):
+        ohf = c.oh.astype(jnp.float32)
+        upd = jnp.where(c.active, 1.0, 0.0)[:, None] * ohf
+        new_visits = c.visits + upd.astype(jnp.int32)
+        new_vsum = c.value_sum + jnp.where(
+            c.active, c.val, 0.0
+        )[:, None] * ohf
+
+        par = jnp.round(
+            _vec_gather(parent.astype(jnp.float32), c.oh)
+        ).astype(jnp.int32)
+        at_depth1 = c.active & (par == 0)
+
+        oh_par = _onehot(jnp.maximum(par, 0), N)
+        pv_sum = _vec_gather(new_vsum, oh_par)
+        pv_n = _vec_gather(new_visits.astype(jnp.float32), oh_par)
+        parent_mean = pv_sum / jnp.maximum(pv_n, 1.0)
+        flipped = -c.val
+        mixed = (1.0 - lam) * (-parent_mean) + lam * flipped
+
+        return _TDCarry(
+            oh=oh_par,
+            val=mixed,
+            active=c.active & (par >= 0),
+            visits=new_visits,
+            value_sum=new_vsum,
+            edge_val=jnp.where(at_depth1, c.val, c.edge_val),
+            edge_hit=c.edge_hit | at_depth1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out.visits, out.value_sum, out.edge_val, out.edge_hit
+
+
 def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
                    config: MCTSConfig) -> Tree:
     B = tree.batch_size
@@ -549,38 +669,54 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
         leaf_tval,
         jnp.where(child_term, child_tval, value),
     )
-    L = sel.length + expand.astype(jnp.int32)  # depth of backprop start
-    l_even = (L % 2 == 0)[:, None]
-    v = leaf_val[:, None]
-    visits = tree.visits + (sel.mask_even + sel.mask_odd).astype(jnp.int32)
-    value_sum = (
-        tree.value_sum
-        + jnp.where(l_even, v, -v) * sel.mask_even
-        + jnp.where(l_even, -v, v) * sel.mask_odd
-    )
-    # The new node itself (depth L, sign +v).
-    visits = _write_row(
-        visits, new,
-        jax.lax.dynamic_index_in_dim(visits, new, 1, False)
-        + jnp.where(expand, 1, 0),
-        jnp.ones((B,), bool),
-    )
-    value_sum = _write_row(
-        value_sum, new,
-        jax.lax.dynamic_index_in_dim(value_sum, new, 1, False)
-        + jnp.where(expand, leaf_val, 0.0),
-        jnp.ones((B,), bool),
-    )
+    if config.td_lambda is not None:
+        # Opt-in TD(λ) path: sequential parent-pointer walk (needs each
+        # node's running mean, so the one-shot mask trick doesn't apply).
+        start = jnp.where(expand, new, sel.leaf)
+        visits, value_sum, edge_val, edge_hit = _backprop_td(
+            start, leaf_val, tree.visits, tree.value_sum, config, parent,
+        )
+        root_evisits = tree.root_evisits + jnp.where(
+            edge_hit[:, None] & oh_a_bool, 1, 0
+        )
+        root_evalue = tree.root_evalue + jnp.where(
+            edge_hit[:, None] & oh_a_bool, edge_val[:, None], 0.0
+        )
+    else:
+        L = sel.length + expand.astype(jnp.int32)  # depth of backprop start
+        l_even = (L % 2 == 0)[:, None]
+        v = leaf_val[:, None]
+        visits = tree.visits + (
+            sel.mask_even + sel.mask_odd
+        ).astype(jnp.int32)
+        value_sum = (
+            tree.value_sum
+            + jnp.where(l_even, v, -v) * sel.mask_even
+            + jnp.where(l_even, -v, v) * sel.mask_odd
+        )
+        # The new node itself (depth L, sign +v).
+        visits = _write_row(
+            visits, new,
+            jax.lax.dynamic_index_in_dim(visits, new, 1, False)
+            + jnp.where(expand, 1, 0),
+            jnp.ones((B,), bool),
+        )
+        value_sum = _write_row(
+            value_sum, new,
+            jax.lax.dynamic_index_in_dim(value_sum, new, 1, False)
+            + jnp.where(expand, leaf_val, 0.0),
+            jnp.ones((B,), bool),
+        )
 
-    # --- root edge stats (child-perspective sums; child sits at depth 1) ---
-    backed = (sel.length >= 1) | (expand & from_root)
-    sign1 = jnp.where(L % 2 == 1, leaf_val, -leaf_val)
-    root_evisits = tree.root_evisits + jnp.where(
-        backed[:, None] & oh_a_bool, 1, 0
-    )
-    root_evalue = tree.root_evalue + jnp.where(
-        backed[:, None] & oh_a_bool, sign1[:, None], 0.0
-    )
+        # --- root edge stats (child-perspective sums; child at depth 1) ---
+        backed = (sel.length >= 1) | (expand & from_root)
+        sign1 = jnp.where(L % 2 == 1, leaf_val, -leaf_val)
+        root_evisits = tree.root_evisits + jnp.where(
+            backed[:, None] & oh_a_bool, 1, 0
+        )
+        root_evalue = tree.root_evalue + jnp.where(
+            backed[:, None] & oh_a_bool, sign1[:, None], 0.0
+        )
 
     return tree.replace(
         root_child=root_child,
@@ -680,6 +816,8 @@ def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig,
         def param_eval(_, obs, to_play):
             return eval_fn(obs, to_play)
 
+    caps = _capacity_schedule(config.num_nodes)
+
     @jax.jit
     def init_fn(params, root_states, rng):
         noise_rng, _ = jax.random.split(rng)
@@ -688,13 +826,22 @@ def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig,
             params, obs, jax.vmap(env.to_play)(root_states)
         )
         return instantiate_tree(env, root_states, logits, value, config,
-                                noise_rng)
+                                noise_rng, capacity=caps[0])
 
-    @_functools.partial(jax.jit, donate_argnums=(1,))
-    def sim_fn(params, tree, sim):
+    # One executable per arena capacity bucket (shapes are static under
+    # jit); XLA specializes the sweep sizes to the live arena.
+    @_functools.partial(jax.jit, donate_argnums=(1,),
+                        static_argnames=("cap",))
+    def sim_fn(params, tree, sim, cap):
+        del cap  # shape specializer only (tree shapes carry it)
         return _simulate_once(
             env, lambda o, tp: param_eval(params, o, tp), tree, sim, config
         )
+
+    @_functools.partial(jax.jit, donate_argnums=(0,),
+                        static_argnames=("cap",))
+    def grow_fn(tree, cap):
+        return grow_tree(tree, cap)
 
     @jax.jit
     def finalize_fn(tree):
@@ -707,8 +854,13 @@ def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig,
 
     def run_with_params(params, root_states, rng) -> SearchOutput:
         tree = init_fn(params, root_states, rng)
+        cap_i = 0
         for sim in range(sims):
-            tree = sim_fn(params, tree, sim)
+            # New node lands at slot sim+1: grow before it would overflow.
+            if sim + 2 > caps[cap_i]:
+                cap_i += 1
+                tree = grow_fn(tree, caps[cap_i])
+            tree = sim_fn(params, tree, sim, caps[cap_i])
         counts, weights, root_value = finalize_fn(tree)
         return SearchOutput(
             visit_counts=counts,

@@ -227,3 +227,59 @@ class TestHostSearch:
             acts = np.asarray(rec.action)
             for b in range(3):
                 assert bool(legal[b, acts[b]])
+
+
+@functools.lru_cache(maxsize=None)
+def _noisy_search(env, config):
+    eval_fn = make_uniform_eval_fn(env.num_actions, value_noise=0.3)
+
+    @jax.jit
+    def run(states, rng):
+        return search(env, eval_fn, states, rng, config)
+
+    return run
+
+
+class TestTDLambda:
+    def test_lambda_one_matches_default(self):
+        # With λ=1 the TD mixing reduces to the plain sign-flip backprop, so
+        # the sequential walk must reproduce the mask-based fast path
+        # node-for-node (each node gets exactly one visit/value add per sim
+        # in both formulations).
+        cfg0 = MCTSConfig(num_simulations=40, dirichlet_epsilon=0.0)
+        cfg1 = MCTSConfig(num_simulations=40, dirichlet_epsilon=0.0,
+                          td_lambda=1.0)
+        states = batch_init(ENV, 2)
+        out0 = jsearch(ENV, cfg0)(states, jax.random.key(7))
+        out1 = jsearch(ENV, cfg1)(states, jax.random.key(7))
+        np.testing.assert_array_equal(
+            np.asarray(out0.visit_counts), np.asarray(out1.visit_counts)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out0.tree.value_sum),
+            np.asarray(out1.tree.value_sum), atol=1e-5,
+        )
+
+    def test_td_backprop_runs_and_bootstraps(self):
+        # Reference formula (parallel_mcts.cpp:825-833): λ<1 mixes the
+        # (negated) parent running mean into the backed-up value.  Sanity:
+        # search completes, visit accounting is conserved, values bounded.
+        # Nonzero leaf values needed — TD mixing of all-zero values is a
+        # no-op (value_noise mirrors RandomPolicyNetwork's random value).
+        cfg = MCTSConfig(num_simulations=60, dirichlet_epsilon=0.0,
+                         td_lambda=0.8)
+        states = batch_init(ENV, 2)
+        out = _noisy_search(ENV, cfg)(states, jax.random.key(1))
+        counts = np.asarray(out.visit_counts)
+        assert counts.sum(-1).min() >= 1
+        v = np.asarray(out.tree.value_sum) / np.maximum(
+            np.asarray(out.tree.visits), 1
+        )
+        assert np.all(np.abs(v) <= 1.0 + 1e-4)
+        # λ=0.8 must actually change the search relative to the default.
+        out0 = _noisy_search(
+            ENV, MCTSConfig(num_simulations=60, dirichlet_epsilon=0.0)
+        )(states, jax.random.key(1))
+        assert not np.array_equal(
+            np.asarray(out.tree.value_sum), np.asarray(out0.tree.value_sum)
+        )
