@@ -274,8 +274,9 @@ def instantiate_tree(
 
     if max(N, config.num_nodes) > _MAX_F16_NODES:
         raise ValueError(
-            f"arena of {N} nodes exceeds the f16-exact child-pointer range; "
-            "use <= ~2045 simulations or widen the pointer dtype"
+            f"arena of {max(N, config.num_nodes)} nodes exceeds the "
+            "f16-exact child-pointer range; use <= ~2045 simulations or "
+            "widen the pointer dtype"
         )
 
     def tile(x):  # [B, ...] -> [B, N, ...] (root in slot 0)
