@@ -254,8 +254,9 @@ def instantiate_tree(
 ) -> Tree:
     """Allocate arenas and install the evaluated root (with Dirichlet
     exploration noise when ``rng`` is given; reference ``addDirichletNoise``,
-    parallel_mcts.cpp:1110).  ``capacity`` overrides the arena node count
-    (the host-driven loop starts small and grows — see ``grow_tree``)."""
+    parallel_mcts.cpp:1110).  ``capacity`` overrides the arena
+    node count (bucketed arena growth was measured a net loss on v5e:
+    per-sim cost is not capacity-bound; see BENCHLOG.md)."""
     B = root_value.shape[0]
     N = config.num_nodes if capacity is None else capacity
     A = root_logits.shape[-1]
@@ -309,49 +310,6 @@ def instantiate_tree(
         caction=jnp.full((B, N, K), -1.0, jnp.float32),
         states=states,
     )
-
-
-def grow_tree(tree: Tree, new_capacity: int) -> Tree:
-    """Pad every node-indexed arena from ``tree.capacity`` to
-    ``new_capacity`` rows (fill values matching ``instantiate_tree``'s
-    virgin slots, so grown and full-size trees are bit-identical).
-
-    Arena rows are allocated densely at slot ``sim + 1``, so during
-    simulation ``s`` only ``s + 2`` rows are live — but every one-hot sweep
-    in the descent reads the *whole* arena.  The host-driven loop therefore
-    starts with a small arena and grows it through a power-of-two capacity
-    schedule, cutting the O(B·N·K) sweep traffic of early simulations
-    (~1.6x average traffic reduction at 800 sims; the copy itself is one
-    O(B·N·K) pass per bucket crossing, amortized over that bucket's sims)."""
-
-    def pad(x, fill):
-        pads = [(0, 0)] * x.ndim
-        pads[1] = (0, new_capacity - x.shape[1])
-        return jnp.pad(x, pads, constant_values=fill)
-
-    return tree.replace(
-        visits=pad(tree.visits, 0),
-        value_sum=pad(tree.value_sum, 0.0),
-        parent=pad(tree.parent, -1),
-        terminal=pad(tree.terminal, False),
-        tvalue=pad(tree.tvalue, 0.0),
-        depth=pad(tree.depth, 0),
-        prior=pad(tree.prior, 0.0),
-        cchild=pad(tree.cchild, -2.0),
-        caction=pad(tree.caction, -1.0),
-        states=jax.tree_util.tree_map(lambda x: pad(x, 0), tree.states),
-    )
-
-
-def _capacity_schedule(num_nodes: int, start: int = 64) -> list:
-    """Power-of-two capacity buckets ending exactly at ``num_nodes``."""
-    caps = []
-    c = min(start, num_nodes)
-    while c < num_nodes:
-        caps.append(c)
-        c *= 2
-    caps.append(num_nodes)
-    return caps
 
 
 class _SelectResult(NamedTuple):
@@ -817,8 +775,6 @@ def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig,
         def param_eval(_, obs, to_play):
             return eval_fn(obs, to_play)
 
-    caps = _capacity_schedule(config.num_nodes)
-
     @jax.jit
     def init_fn(params, root_states, rng):
         noise_rng, _ = jax.random.split(rng)
@@ -827,22 +783,13 @@ def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig,
             params, obs, jax.vmap(env.to_play)(root_states)
         )
         return instantiate_tree(env, root_states, logits, value, config,
-                                noise_rng, capacity=caps[0])
+                                noise_rng)
 
-    # One executable per arena capacity bucket (shapes are static under
-    # jit); XLA specializes the sweep sizes to the live arena.
-    @_functools.partial(jax.jit, donate_argnums=(1,),
-                        static_argnames=("cap",))
-    def sim_fn(params, tree, sim, cap):
-        del cap  # shape specializer only (tree shapes carry it)
+    @_functools.partial(jax.jit, donate_argnums=(1,))
+    def sim_fn(params, tree, sim):
         return _simulate_once(
             env, lambda o, tp: param_eval(params, o, tp), tree, sim, config
         )
-
-    @_functools.partial(jax.jit, donate_argnums=(0,),
-                        static_argnames=("cap",))
-    def grow_fn(tree, cap):
-        return grow_tree(tree, cap)
 
     @jax.jit
     def finalize_fn(tree):
@@ -855,13 +802,8 @@ def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig,
 
     def run_with_params(params, root_states, rng) -> SearchOutput:
         tree = init_fn(params, root_states, rng)
-        cap_i = 0
         for sim in range(sims):
-            # New node lands at slot sim+1: grow before it would overflow.
-            if sim + 2 > caps[cap_i]:
-                cap_i += 1
-                tree = grow_fn(tree, caps[cap_i])
-            tree = sim_fn(params, tree, sim, caps[cap_i])
+            tree = sim_fn(params, tree, sim)
         counts, weights, root_value = finalize_fn(tree)
         return SearchOutput(
             visit_counts=counts,

@@ -345,3 +345,38 @@ class TestRenjuClassicPositions:
         forbidden, five = jforbidden(self.env)(board == 0, board == 1)
         assert bool(forbidden[7, 5])
         assert not bool(five[7, 5])
+
+
+class TestStepLineSampling:
+    """The step()'s 40-cell line-sampling win check must agree with the
+    full-board run-map formulation (_run_through_maps) on random games."""
+
+    def test_random_playouts_match_runmaps(self):
+        import numpy as np
+        from alphazero_tpu.games.gomoku import (
+            GomokuEnv, _run_through_maps,
+        )
+
+        env = GomokuEnv(board_size=9)
+        step = jax.jit(env.step)
+        rng = np.random.RandomState(11)
+        for _ in range(6):
+            state = env.init()
+            for _ in range(40):
+                if bool(state.terminal):
+                    break
+                legal = np.asarray(env.legal_mask(state))
+                if not legal.any():
+                    break
+                a = int(rng.choice(np.nonzero(legal)[0]))
+                player = int(state.to_play)
+                # expected winner via full-board run maps (old formulation)
+                mover = np.asarray(state.board) == player
+                runs = np.asarray(
+                    _run_through_maps(jnp.asarray(mover))
+                )
+                r, c = a // 9, a % 9
+                expect_win = bool((runs[:, r, c] >= 5).any())
+                state = step(state, jnp.int32(a))
+                got_win = bool(state.terminal) and int(state.winner) == player
+                assert got_win == expect_win, (a, player)
