@@ -13,13 +13,13 @@ TPU-first design decisions (not translations):
   * Pass is action ``N*N`` (the reference encodes it as -1 and declares the
     action space N*N+1, go_state.cpp:155-157,345 — SURVEY.md §2.2 says
     normalize; we do).
-  * Flood fills (group membership, liberties, territory) are fixed-point
-    masked neighbor propagations under ``lax.while_loop`` — O(diameter)
-    whole-board VPU passes instead of per-cell recursion.
-  * Group identity = min-cell-index propagation; per-group reductions
-    (liberty counts, capture hash deltas) are ``segment_sum`` over those ids.
+  * Flood fills (group membership, liberties, territory) are matrix-squaring
+    reachability on the MXU — ceil(log2(N^2)) batched [N^2, N^2] bf16
+    matmuls give exact connected components (see the note above
+    ``_reach_matrix``); per-group reductions (liberty counts, sizes, capture
+    hash deltas) become per-cell matmul-derived quantities (``GroupStats``).
   * Zobrist here is *additive* (two independent uint32 lanes, mod 2^32):
-    capture deltas become segment sums, which lets superko legality be
+    capture deltas become masked key sums, which lets superko legality be
     computed for EVERY candidate move simultaneously — candidate hash =
     hash + place_key - sum(captured group keys) — with no clone-and-replay
     (the reference replays per candidate, go_state.cpp:130-187).
@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,122 +67,181 @@ def _neighbors(x: jax.Array) -> jax.Array:
     return up | down | left | right
 
 
-# Flood fills / label propagation are implemented as SEGMENTED SCANS along
-# rows and columns (log-depth jax.lax.associative_scan) repeated for a
-# static number of sweeps — dynamic while_loops over tiny bodies cost
-# ~50-100us per iteration on TPU and dominated the Go step (32ms/batch);
-# static scans trace to pure VPU work.  One (row, col) sweep propagates
-# information along any single "L" of a path; a path with k bends needs
-# ceil(k/2)+1 sweeps, and a worst-case spiral in an N x N region has ~2N-2
-# bends, so N+2 sweeps are exact for any group shape.
+# Connectivity (group membership, liberties, territory) is computed by
+# MATRIX-SQUARING REACHABILITY on the MXU: mask the static 4-adjacency
+# matrix A [S, S] to the region, add self-loops, then square log2(S) times
+# with a {0,1} threshold after each squaring — M_k covers all paths of
+# length <= 2^k, so ceil(log2(S)) squarings give exact connected
+# components.  Each squaring is one batched [S, S] @ [S, S] bf16 matmul
+# (f32 accumulate; entries are exact counts <= S < 2^8).  This replaced an
+# earlier segmented-scan formulation (log-depth associative_scan sweeps):
+# measured on v5e at B=1024, go9 per-simulation cost dropped from 162 ms to
+# a few ms — hundreds of small VPU scan kernels become ~8 MXU matmuls per
+# reachability query, and per-group segment reductions become per-cell
+# matmul-derived quantities (no batched scatter/segment_sum anywhere).
 
 
-def _seg_or_scan(x: jax.Array, region: jax.Array, axis: int) -> jax.Array:
-    """Within contiguous True-runs of ``region`` along ``axis``: every cell
-    gets the OR of x over its whole run (outside region -> False)."""
-
-    def combine(a, b):
-        ab, av = a
-        bb, bv = b
-        # bb marks a segment boundary at b's start: value does not flow.
-        return ab | bb, jnp.where(bb, bv, av | bv)
-
-    boundary = ~region
-
-    def scan(xx, reverse):
-        _, v = jax.lax.associative_scan(
-            combine, (boundary, xx & region), axis=axis, reverse=reverse
-        )
-        return v
-
-    return (scan(x, False) | scan(x, True)) & region
+@functools.lru_cache(maxsize=None)
+def _adjacency_np(n: int) -> np.ndarray:
+    """Static 4-neighborhood adjacency over flat cells: bool [S, S]."""
+    S = n * n
+    A = np.zeros((S, S), np.bool_)
+    for r in range(n):
+        for c in range(n):
+            q = r * n + c
+            if r > 0:
+                A[q, q - n] = True
+            if r < n - 1:
+                A[q, q + n] = True
+            if c > 0:
+                A[q, q - 1] = True
+            if c < n - 1:
+                A[q, q + 1] = True
+    return A
 
 
-def _seg_min_scan(x: jax.Array, region: jax.Array, axis: int,
-                  big: int) -> jax.Array:
-    """Segmented running-min along ``axis`` (both directions) within
-    region runs; outside region -> big."""
+@functools.lru_cache(maxsize=None)
+def _n_squarings(size: int) -> int:
+    k, span = 0, 1
+    while span < size - 1:  # longest simple path <= size-1 edges
+        span *= 2
+        k += 1
+    return k
 
-    def combine(a, b):
-        ab, av = a
-        bb, bv = b
-        return ab | bb, jnp.where(bb, bv, jnp.minimum(av, bv))
 
-    boundary = ~region
-    xm = jnp.where(region, x, big)
-
-    def scan(reverse):
-        _, v = jax.lax.associative_scan(
-            combine, (boundary, xm), axis=axis, reverse=reverse
-        )
-        return v
-
-    return jnp.where(region, jnp.minimum(scan(False), scan(True)), big)
+def _reach_matrix(region_flat: jax.Array) -> jax.Array:
+    """bool [S, S]: reachability via 4-adjacency *within* ``region_flat``
+    ([S] bool), self-loops included on region cells."""
+    S = region_flat.shape[0]
+    n = int(round(S ** 0.5))
+    A = jnp.asarray(_adjacency_np(n))
+    M = (A & region_flat[None, :] & region_flat[:, None]) | (
+        jnp.eye(S, dtype=bool) & region_flat[None, :]
+    )
+    Mb = M.astype(jnp.bfloat16)
+    for _ in range(_n_squarings(S)):
+        Mb = (
+            jnp.matmul(Mb, Mb, preferred_element_type=jnp.float32) > 0.5
+        ).astype(jnp.bfloat16)
+    return Mb > 0.5
 
 
 def _flood(seed: jax.Array, region: jax.Array) -> jax.Array:
     """Grow ``seed`` through ``region`` via 4-adjacency (exact)."""
     n = region.shape[0]
-    x = seed & region
-    for _ in range(n + 2):
-        x = _seg_or_scan(x, region, axis=1)
-        x = _seg_or_scan(x, region, axis=0)
-    return x
+    reach = _reach_matrix(region.reshape(-1))
+    s = (seed & region).reshape(-1)
+    out = (
+        jnp.matmul(
+            s.astype(jnp.bfloat16), reach.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        > 0.5
+    )
+    return out.reshape(n, n) & region
 
 
 def _group_ids(stones: jax.Array) -> jax.Array:
-    """Min-cell-index label propagation: i32 [N, N]; each stone cell gets the
-    smallest flat index in its group; non-stones get N*N (an out-of-range
-    segment id)."""
+    """i32 [N, N]; each stone cell gets the smallest flat index in its
+    group; non-stones get N*N (an out-of-range segment id)."""
     n = stones.shape[0]
     size = n * n
-    idx = jnp.arange(size, dtype=jnp.int32).reshape(n, n)
-    ids = jnp.where(stones, idx, size)
-    for _ in range(n + 2):
-        ids = _seg_min_scan(ids, stones, axis=1, big=size)
-        ids = _seg_min_scan(ids, stones, axis=0, big=size)
-    return jnp.where(stones, ids, size)
+    flat = stones.reshape(-1)
+    reach = _reach_matrix(flat)
+    arange = jnp.arange(size, dtype=jnp.int32)
+    ids = jnp.where(reach, arange[None, :], size).min(-1)
+    return jnp.where(flat, ids, size).reshape(n, n)
 
 
-def _neighbor_ids(ids: jax.Array, size: int):
-    """The 4 neighbor id planes of an id plane ([N,N] -> 4x[N,N]), padded
-    with the out-of-range id."""
-    big = size
-    up = jnp.pad(ids[1:], ((0, 1), (0, 0)), constant_values=big)
-    down = jnp.pad(ids[:-1], ((1, 0), (0, 0)), constant_values=big)
-    left = jnp.pad(ids[:, 1:], ((0, 0), (0, 1)), constant_values=big)
-    right = jnp.pad(ids[:, :-1], ((0, 0), (1, 0)), constant_values=big)
-    return up, down, left, right
+class GroupStats(NamedTuple):
+    """Per-CELL group quantities (flat [S] arrays; non-stone cells get the
+    neutral values noted).  Replaces per-segment ``segment_sum`` tables —
+    every consumer lookup ``table[gid[q]]`` becomes a direct per-cell read."""
+
+    ids: jax.Array  # i32 [S] min flat index of the cell's group; S if empty
+    libs: jax.Array  # i32 [S] distinct liberties of the cell's group; 0
+    libpos: jax.Array  # i32 [S] smallest liberty index; S if none
+    size: jax.Array  # i32 [S] stones in the cell's group; 0
+    keysum: jax.Array | None  # u32 [S, 2] additive key sum of the group
 
 
-def _group_liberty_counts(stones: jax.Array, empty: jax.Array):
-    """Per-group distinct-liberty counts.
+def _cell_group_stats(
+    stones_flat: jax.Array, empty_flat: jax.Array, keys: jax.Array | None = None
+) -> GroupStats:
+    S = stones_flat.shape[0]
+    n = int(round(S ** 0.5))
+    A = jnp.asarray(_adjacency_np(n))
+    reach = _reach_matrix(stones_flat)  # [S, S]
+    arange = jnp.arange(S, dtype=jnp.int32)
 
-    Returns (ids [N,N], lib_count [num_segments] i32) where ids maps each
-    stone cell to its group segment id.  Each empty cell contributes one
-    liberty to every *distinct* adjacent group (dedup over its 4 neighbors).
-    """
-    n = stones.shape[0]
-    size = n * n
-    ids = _group_ids(stones)
-    nbr = _neighbor_ids(ids, size)
-
-    contrib = []
-    seen = []
-    for i, cand in enumerate(nbr):
-        fresh = jnp.ones_like(cand, dtype=bool)
-        for prev in seen:
-            fresh = fresh & (cand != prev)
-        contrib.append(jnp.where(empty & fresh & (cand < size), cand, size))
-        seen.append(cand)
-
-    flat = jnp.stack([c.reshape(-1) for c in contrib])  # [4, size]
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(flat, jnp.int32).reshape(-1),
-        flat.reshape(-1),
-        num_segments=size + 1,
+    # Liberty indicator: cell q's group reaches stone r adjacent to empty e.
+    adj_empty = A & empty_flat[None, :]
+    lib_ind = (
+        jnp.matmul(
+            reach.astype(jnp.bfloat16), adj_empty.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        > 0.5
+    )  # [S, S]
+    libs = jnp.where(stones_flat, lib_ind.sum(-1).astype(jnp.int32), 0)
+    libpos = jnp.where(
+        stones_flat,
+        jnp.where(lib_ind, arange[None, :], S).min(-1),
+        S,
     )
-    return ids, counts[:size + 1]
+    ids = jnp.where(
+        stones_flat, jnp.where(reach, arange[None, :], S).min(-1), S
+    )
+    size = jnp.where(stones_flat, reach.sum(-1).astype(jnp.int32), 0)
+
+    keysum = None
+    if keys is not None:
+        # u32 keys split into 16-bit halves; sums <= S * 2^16 < 2^23 are
+        # exact in f32 (HIGHEST precision forces true-f32 MXU passes), then
+        # recombined mod 2^32 (u32 wrap matches additive-hash semantics).
+        halves = jnp.stack(
+            [
+                (keys[:, 0] >> 16).astype(jnp.float32),
+                (keys[:, 0] & jnp.uint32(0xFFFF)).astype(jnp.float32),
+                (keys[:, 1] >> 16).astype(jnp.float32),
+                (keys[:, 1] & jnp.uint32(0xFFFF)).astype(jnp.float32),
+            ],
+            axis=-1,
+        )  # [S, 4]
+        masked = jnp.where(stones_flat[:, None], halves, 0.0)
+        sums = jnp.matmul(
+            reach.astype(jnp.float32), masked,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [S, 4]
+        u = sums.astype(jnp.uint32)
+        keysum = jnp.stack(
+            [(u[:, 0] << 16) + u[:, 1], (u[:, 2] << 16) + u[:, 3]], axis=-1
+        )
+        keysum = jnp.where(stones_flat[:, None], keysum, 0)
+    return GroupStats(ids=ids, libs=libs, libpos=libpos, size=size,
+                      keysum=keysum)
+
+
+def _shift_fill(x: jax.Array, dr: int, dc: int, fill) -> jax.Array:
+    """out[r, c] = x[r + dr, c + dc] with constant fill (static shifts);
+    supports trailing channel dims."""
+    pads = [(0, 0)] * x.ndim
+    if dr > 0:
+        y = jnp.pad(x[dr:], [(0, dr)] + pads[1:], constant_values=fill)
+    elif dr < 0:
+        y = jnp.pad(x[:dr], [(-dr, 0)] + pads[1:], constant_values=fill)
+    else:
+        y = x
+    if dc > 0:
+        y = jnp.pad(y[:, dc:], [(0, 0), (0, dc)] + pads[2:],
+                    constant_values=fill)
+    elif dc < 0:
+        y = jnp.pad(y[:, :dc], [(0, 0), (-dc, 0)] + pads[2:],
+                    constant_values=fill)
+    return y
+
+
+_STEPS4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -270,65 +329,64 @@ class GoEnv:
         """
         n = self.board_size
         size = n * n
-        opp = board == (1 - mover).astype(jnp.int8)
         empty = board == -1
-        ids, lib_counts = _group_liberty_counts(opp, empty)
-
-        # Single liberty id per group: segment-min of adjacent empty flat idx.
-        nbr = _neighbor_ids(ids, size)
-        idx = jnp.arange(size, dtype=jnp.int32).reshape(n, n)
-        seg_ids = []
-        seg_libs = []
-        for cand in nbr:
-            valid = empty & (cand < size)
-            seg_ids.append(jnp.where(valid, cand, size).reshape(-1))
-            seg_libs.append(jnp.where(valid, idx, size).reshape(-1))
-        seg_ids = jnp.concatenate(seg_ids)
-        seg_libs = jnp.concatenate(seg_libs)
-        lib_min = jax.ops.segment_min(
-            seg_libs, seg_ids, num_segments=size + 1
-        )  # [size+1]
-
-        # Per-group stone count and hash-key sum.
-        flat_ids = ids.reshape(-1)
-        stone = opp.reshape(-1)
-        group_sizes = jax.ops.segment_sum(
-            stone.astype(jnp.int32), flat_ids, num_segments=size + 1
+        stats_b, stats_w = self._color_stats(board)
+        # Opponent-of-mover per-cell stats (both colors computed so the
+        # identical subexpressions CSE with _own_safety and observation).
+        opp_stats = jax.tree_util.tree_map(
+            lambda b, w: jnp.where(mover == 0, w, b), stats_b, stats_w
         )
-        opp_keys = self._keys(1 - mover)  # [size, 2]
-        keys_masked = jnp.where(stone[:, None], opp_keys, 0).astype(jnp.uint32)
-        group_keys = jax.ops.segment_sum(
-            keys_masked, flat_ids, num_segments=size + 1
-        )  # [size+1, 2]
 
-        in_atari = lib_counts == 1  # per segment id
+        idx = jnp.arange(size, dtype=jnp.int32).reshape(n, n)
+        idsp = opp_stats.ids.reshape(n, n)
+        atarip = (opp_stats.libs == 1).reshape(n, n)
+        libposp = opp_stats.libpos.reshape(n, n)
+        sizep = opp_stats.size.reshape(n, n)
+        keyp = opp_stats.keysum.reshape(n, n, 2)
 
         # For each candidate cell p: adjacent distinct opponent groups whose
-        # single liberty is exactly p.
+        # single liberty is exactly p (all via static neighbor shifts).
         cap_count = jnp.zeros((n, n), jnp.int32)
         cap_keys = jnp.zeros((n, n, 2), jnp.uint32)
         single_stone = jnp.zeros((n, n), jnp.int32)
         seen = []
-        for cand in nbr:
+        for dr, dc in _STEPS4:
+            cand = _shift_fill(idsp, dr, dc, size)
             fresh = jnp.ones_like(cand, dtype=bool)
             for prev in seen:
                 fresh = fresh & (cand != prev)
             seen.append(cand)
-            gid = jnp.clip(cand, 0, size)
             qual = (
                 fresh
-                & (cand < size)
-                & in_atari[gid]
-                & (lib_min[gid] == idx)
+                & (cand < size)  # neighbor is an opponent stone
+                & _shift_fill(atarip, dr, dc, False)
+                & (_shift_fill(libposp, dr, dc, size) == idx)
             )
-            cap_count = cap_count + jnp.where(qual, group_sizes[gid], 0)
+            cap_count = cap_count + jnp.where(
+                qual, _shift_fill(sizep, dr, dc, 0), 0
+            )
             cap_keys = cap_keys + jnp.where(
-                qual[..., None], group_keys[gid], 0
+                qual[..., None],
+                _shift_fill(keyp, dr, dc, 0),
+                0,
             ).astype(jnp.uint32)
             single_stone = single_stone + jnp.where(
-                qual & (group_sizes[gid] == 1), 1, 0
+                qual & (_shift_fill(sizep, dr, dc, 0) == 1), 1, 0
             )
-        return cap_count, cap_keys, single_stone, (ids, lib_counts, lib_min)
+        return cap_count, cap_keys, single_stone, (stats_b, stats_w)
+
+    def _color_stats(self, board: jax.Array):
+        """Per-cell GroupStats for black and for white stones of ``board``.
+        Computing both (rather than mover-selected masks) makes the jaxprs
+        of step/legal_mask/observation share subexpressions for XLA CSE."""
+        empty = (board == -1).reshape(-1)
+        stats_b = _cell_group_stats(
+            (board == 0).reshape(-1), empty, self._keys(0)
+        )
+        stats_w = _cell_group_stats(
+            (board == 1).reshape(-1), empty, self._keys(1)
+        )
+        return stats_b, stats_w
 
     def _own_safety(self, board: jax.Array, mover: jax.Array, cap_count):
         """bool [N,N]: placing at each empty cell leaves the new own group
@@ -337,16 +395,19 @@ class GoEnv:
         group with >= 2 liberties."""
         n = self.board_size
         size = n * n
-        own = board == mover.astype(jnp.int8)
         empty = board == -1
         has_empty_nbr = _neighbors(empty)
 
-        ids, lib_counts = _group_liberty_counts(own, empty)
-        nbr = _neighbor_ids(ids, size)
+        stats_b, stats_w = self._color_stats(board)
+        own_stats = jax.tree_util.tree_map(
+            lambda b, w: jnp.where(mover == 0, b, w), stats_b, stats_w
+        )
+        roomy_cell = (
+            (own_stats.ids < size) & (own_stats.libs >= 2)
+        ).reshape(n, n)
         own_roomy = jnp.zeros((n, n), dtype=bool)
-        for cand in nbr:
-            gid = jnp.clip(cand, 0, size)
-            own_roomy = own_roomy | ((cand < size) & (lib_counts[gid] >= 2))
+        for dr, dc in _STEPS4:
+            own_roomy = own_roomy | _shift_fill(roomy_cell, dr, dc, False)
         return has_empty_nbr | (cap_count > 0) | own_roomy
 
     # ---- step ------------------------------------------------------------
@@ -360,40 +421,46 @@ class GoEnv:
         r = jnp.clip(action, 0, size - 1) // n
         c = jnp.clip(action, 0, size - 1) % n
 
-        cap_count, cap_keys, _, _ = self._capture_info(state.board, mover)
-        ccount = jnp.where(is_pass, 0, cap_count[r, c])
-        ckeys = jnp.where(is_pass, 0, cap_keys[r, c]).astype(jnp.uint32)
-
-        # Remove captured groups: opponent stones with 0 liberties after the
-        # placement == groups whose single liberty was the played point.
+        # Place the stone (one-hot select; no batched scatter), then remove
+        # opponent groups left with 0 liberties — only groups adjacent to
+        # the new stone can newly lose their last liberty, so the global
+        # libertyless check equals the local capture rule.
+        oh_flat = jnp.arange(size, dtype=jnp.int32) == jnp.clip(
+            action, 0, size - 1
+        )
+        oh_cell = (oh_flat & ~is_pass).reshape(n, n)
         opp_val = (1 - mover).astype(jnp.int8)
-        board1 = jnp.where(
-            is_pass, state.board, state.board.at[r, c].set(mover.astype(jnp.int8))
+        board1 = jnp.where(oh_cell, mover.astype(jnp.int8), state.board)
+        opp_flat1 = (board1 == opp_val).reshape(-1)
+        empty_flat1 = (board1 == -1).reshape(-1)
+        opp_stats1 = _cell_group_stats(opp_flat1, empty_flat1)
+        captured = (
+            (opp_flat1 & (opp_stats1.libs == 0)).reshape(n, n) & ~is_pass
         )
-        opp = board1 == opp_val
-        empty1 = board1 == -1
-        # libertyless opponent stones (global check == local: only groups
-        # adjacent to the new stone can newly lose their last liberty).
-        with_lib = _flood(opp & _neighbors(empty1), opp)
-        captured = opp & ~with_lib & ~is_pass
         board2 = jnp.where(captured, jnp.int8(-1), board1)
+        ccount = captured.sum()
 
-        # Hash update (additive): + placed key - captured keys.
-        place_key = jnp.where(
-            is_pass,
-            jnp.zeros((2,), jnp.uint32),
-            self._keys(mover)[jnp.clip(action, 0, size - 1)],
-        )
+        # Hash update (additive): + placed key - captured keys.  Key lookups
+        # are one-hot/masked sums, never per-lane gathers.
+        keys_me = jnp.where(mover == 0, self._keys(0), self._keys(1))
+        keys_opp = jnp.where(mover == 0, self._keys(1), self._keys(0))
+        place_key = (
+            keys_me * oh_cell.reshape(-1)[:, None].astype(jnp.uint32)
+        ).sum(0)
+        ckeys = (
+            keys_opp * captured.reshape(-1)[:, None].astype(jnp.uint32)
+        ).sum(0)
         new_board_hash = state.board_hash + place_key - ckeys
 
         # Simple ko: captured exactly one stone and the placed stone's group
         # is that single stone with a single liberty (go_state.cpp:233-236).
-        placed_group = _flood(
-            jnp.zeros((n, n), bool).at[r, c].set(~is_pass),
-            board2 == mover.astype(jnp.int8),
+        own_stats2 = _cell_group_stats(
+            (board2 == mover.astype(jnp.int8)).reshape(-1),
+            (board2 == -1).reshape(-1),
         )
-        placed_group_size = placed_group.sum()
-        placed_libs = (_neighbors(placed_group) & (board2 == -1)).sum()
+        oh_i32 = oh_cell.reshape(-1).astype(jnp.int32)
+        placed_group_size = (own_stats2.size * oh_i32).sum()
+        placed_libs = (own_stats2.libs * oh_i32).sum()
         cap_cell = jnp.argmax(captured.reshape(-1))  # the single captured cell
         ko = (
             (~is_pass)
@@ -407,7 +474,9 @@ class GoEnv:
         move_count = state.move_count + 1
         terminal = (passes >= 2) | (move_count >= self.move_limit)
 
-        prisoners = state.prisoners.at[mover].add(ccount)
+        prisoners = state.prisoners + jnp.where(
+            jnp.arange(2, dtype=jnp.int32) == mover, ccount, 0
+        )
 
         # Scoring at termination.
         sb, sw = self._scores(board2, prisoners)
@@ -417,8 +486,10 @@ class GoEnv:
             jnp.where(sb > sw, 0, jnp.where(sw > sb, 1, -1)),
         ).astype(jnp.int32)
 
-        hist = state.history.at[move_count % self.history_len].set(
-            new_board_hash
+        slot = move_count % self.history_len
+        hist = jnp.where(
+            (jnp.arange(self.history_len, dtype=jnp.int32) == slot)[:, None],
+            new_board_hash[None, :], state.history,
         )
 
         new_state = GoState(
@@ -454,7 +525,9 @@ class GoEnv:
         safe = self._own_safety(board, mover, cap_count)
 
         # Candidate board hash after placing at p (and its captures).
-        place_keys = self._keys(mover).reshape(n, n, 2)
+        place_keys = jnp.where(
+            mover == 0, self._keys(0), self._keys(1)
+        ).reshape(n, n, 2)
         cand_hash = (
             state.board_hash[None, None, :] + place_keys - cap_keys
         )  # [N, N, 2] (uint32 wrap-around arithmetic)
@@ -483,11 +556,20 @@ class GoEnv:
     # ---- scoring ---------------------------------------------------------
 
     def _territory(self, board: jax.Array):
+        n = board.shape[0]
         empty = board == -1
-        black = board == 0
-        white = board == 1
-        reach_b = _flood(empty & _neighbors(black), empty)
-        reach_w = _flood(empty & _neighbors(white), empty)
+        reach = _reach_matrix(empty.reshape(-1))  # shared by both colors
+        reach_bf = reach.astype(jnp.bfloat16)
+
+        def spread(seed):
+            s = (seed & empty).reshape(-1).astype(jnp.bfloat16)
+            out = jnp.matmul(
+                s, reach_bf, preferred_element_type=jnp.float32
+            ) > 0.5
+            return out.reshape(n, n)
+
+        reach_b = spread(_neighbors(board == 0))
+        reach_w = spread(_neighbors(board == 1))
         terr_b = empty & reach_b & ~reach_w
         terr_w = empty & reach_w & ~reach_b
         return terr_b, terr_w
@@ -545,14 +627,18 @@ class GoEnv:
 
         empty = board == -1
 
-        def lib_plane(stones):
-            ids, lib_counts = _group_liberty_counts(stones, empty)
-            gid = jnp.clip(ids, 0, size)
-            libs = jnp.where(stones, lib_counts[gid], 0)
+        stats_b, stats_w = self._color_stats(board)
+
+        def lib_plane(stats):
+            libs = stats.libs.reshape(n, n)
             return jnp.clip(libs.astype(jnp.float32) / 10.0, 0.0, 1.0)
 
-        libs_me = lib_plane(board == me_val)
-        libs_opp = lib_plane(board == (1 - me_val))
+        libs_me = jnp.where(
+            state.to_play == 0, lib_plane(stats_b), lib_plane(stats_w)
+        )
+        libs_opp = jnp.where(
+            state.to_play == 0, lib_plane(stats_w), lib_plane(stats_b)
+        )
 
         ko_plane = (
             jnp.arange(size).reshape(n, n) == state.ko_point
