@@ -65,7 +65,7 @@ def gather_rows(arr: jax.Array, idx: jax.Array,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // LANES_PER_STEP,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # arr stays in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # arr stays in HBM
         out_specs=pl.BlockSpec(
             (LANES_PER_STEP, K),
             lambda step, idx_ref: (step, 0),

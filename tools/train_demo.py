@@ -1,5 +1,5 @@
-"""Short end-to-end training demo on the chip: gomoku 9x9, a few
-actor/learner iterations, then arena vs the uniform-random player.
+"""Short end-to-end training demo on the chip, then arena vs the
+uniform-random player.  DEMO_GAME=gomoku (default) or go, DEMO_ITERS=N.
 
 Evidence artifact: /tmp/train_demo.json (history + win rate).
 """
@@ -21,9 +21,10 @@ from alphazero_tpu.training.learner import LearnerConfig
 from alphazero_tpu.training.pipeline import Pipeline, PipelineConfig
 
 ITERS = int(os.environ.get("DEMO_ITERS", "8"))
+GAME = os.environ.get("DEMO_GAME", "gomoku")
 
 config = PipelineConfig(
-    game="gomoku",
+    game=GAME,
     board_size=9,
     model=ResNetConfig(num_blocks=4, channels=64),
     selfplay=SelfPlayConfig(
@@ -81,6 +82,7 @@ result = {
 with open("/tmp/train_demo.json", "w") as f:
     json.dump(result, f, indent=2)
 print(json.dumps({
+    "game": GAME,
     "final_loss": history[-1].get("loss"),
     "first_loss": next((h.get("loss") for h in history if "loss" in h),
                        None),
