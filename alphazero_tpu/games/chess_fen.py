@@ -249,3 +249,54 @@ def action_to_san(env, state, action: int) -> str:
             dis = chr(ord("a") + fc)
     return (piece_letter[ptype] + dis + ("x" if capture else "") + dest
             + suffix)
+
+
+def _normalize_san(s: str) -> str:
+    """Strip decorations that don't identify the move: check/mate marks,
+    annotations (!?), e.p. tag; normalize zero-castling to O-O form."""
+    s = s.strip().rstrip("+#!?").replace("e.p.", "").strip()
+    s = s.replace("0-0-0", "O-O-O")
+    if s == "0-0":
+        s = "O-O"
+    return s
+
+
+def san_to_action(env, state, san: str) -> int:
+    """Parse Standard Algebraic Notation into an action index (reference
+    ``ChessState::fromSAN``, include/alphazero/games/chess/chess_state.h:290).
+
+    Matches the given SAN against the SAN of every legal action, tolerating
+    missing check/mate suffixes, annotations, and redundant disambiguation
+    (e.g. accepts ``Ngf3`` when plain ``Nf3`` is unambiguous).  Host-side.
+    """
+    import numpy as np
+
+    want = _normalize_san(san)
+    legal = np.flatnonzero(np.asarray(env.legal_mask(state)))
+    candidates = []
+    for a in legal:
+        got = _normalize_san(action_to_san(env, state, int(a)))
+        if got == want:
+            return int(a)
+        # Tolerate extra/absent disambiguation: compare with the
+        # disambiguation field stripped from both sides.
+        if _strip_disambiguation(got) == _strip_disambiguation(want):
+            candidates.append(int(a))
+    if len(candidates) == 1:
+        return candidates[0]
+    if candidates:
+        raise ValueError(f"ambiguous SAN {san!r}")
+    raise ValueError(f"no legal move matches SAN {san!r}")
+
+
+def _strip_disambiguation(s: str) -> str:
+    if not s or s[0] not in "NBRQK":
+        return s  # pawn moves / castling carry no disambiguation field
+    body, tail = s[1:], ""
+    if "=" in body:
+        body, tail = body.split("=", 1)
+        tail = "=" + tail
+    cap = "x" in body
+    body = body.replace("x", "")
+    dest = body[-2:]
+    return s[0] + ("x" if cap else "") + dest + tail

@@ -383,3 +383,44 @@ class TestSAN:
         assert action_to_san(
             ENV, s, T.encode_move(square_from_alg("d1"), square_from_alg("f1"))
         ) == "Rdf1"
+
+    def test_san_parse_roundtrip_startpos(self):
+        # Reference ChessState::fromSAN (chess_state.h:290): every legal
+        # action's SAN must parse back to itself.
+        import numpy as np
+
+        from alphazero_tpu.games.chess_fen import action_to_san, san_to_action
+
+        s = ENV.init()
+        for a in np.flatnonzero(np.asarray(ENV.legal_mask(s))):
+            san = action_to_san(ENV, s, int(a))
+            assert san_to_action(ENV, s, san) == int(a)
+
+    def test_san_parse_tolerance(self):
+        import pytest
+
+        from alphazero_tpu.games.chess_fen import san_to_action
+
+        s = ENV.init()
+        e4 = T.encode_move(square_from_alg("e2"), square_from_alg("e4"))
+        nf3 = T.encode_move(square_from_alg("g1"), square_from_alg("f3"))
+        assert san_to_action(ENV, s, "e4") == e4
+        assert san_to_action(ENV, s, "e4!?") == e4
+        assert san_to_action(ENV, s, "Nf3+") == nf3  # bogus check mark ok
+        assert san_to_action(ENV, s, "Ngf3") == nf3  # redundant disambig ok
+        with pytest.raises(ValueError):
+            san_to_action(ENV, s, "Qh5")  # not legal at startpos
+
+    def test_san_parse_castling_and_promo(self):
+        from alphazero_tpu.games.chess_fen import action_to_san, san_to_action
+
+        s = state_from_fen(
+            ENV, "r3k2r/pppppppp/8/8/8/8/PPPPPPPP/R3K2R w KQkq - 0 1"
+        )
+        a = san_to_action(ENV, s, "0-0")  # zero-notation accepted
+        assert action_to_san(ENV, s, a) == "O-O"
+        a = san_to_action(ENV, s, "O-O-O")
+        assert action_to_san(ENV, s, a) == "O-O-O"
+        s2 = state_from_fen(ENV, "7k/P7/8/8/8/8/8/7K w - - 0 1")
+        a = san_to_action(ENV, s2, "a8=N")
+        assert action_to_san(ENV, s2, a) == "a8=N"
