@@ -10,6 +10,10 @@ Endpoints:
   POST /api/games/<id>/ai_move   engine move -> state
   DELETE /api/games/<id>         close session
   GET  /api/model                engine/model info
+  GET  /                         browser GUI (webui.py)
+
+Chess moves also accept {from, to, promo} click pairs (resolved to the
+AZ action encoding server-side, castling via two-square king click).
 Optional API-key auth via --api-key (X-API-Key header), mirroring
 api_server.py's auth option.
 
@@ -83,6 +87,7 @@ def state_payload(sid, sess):
         "id": sid,
         **info,
         "board": sess.show(),
+        "cells": sess.cells(),
         "legal_actions": [int(a) for a in sess.legal_actions()],
     }
 
@@ -115,6 +120,16 @@ def make_handler(store: SessionStore, api_key=None):
             if not self._auth_ok():
                 return self._send(401, {"error": "unauthorized"})
             parts = self.path.strip("/").split("/")
+            if self.path in ("/", "/ui", "/index.html"):
+                from alphazero_tpu.webui import PAGE
+
+                body = PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
             if parts[:2] == ["api", "model"]:
                 return self._send(200, {
                     "engine": "alphazero_tpu",
@@ -155,6 +170,10 @@ def make_handler(store: SessionStore, api_key=None):
                     return self._send(404, {"error": "no such game"})
                 if parts[3] == "move":
                     action = body.get("action")
+                    if action is None and "from" in body and "to" in body:
+                        # chess GUI click pair -> action index
+                        action = sess.move_from_squares(
+                            body["from"], body["to"], body.get("promo"))
                     if action is None or not sess.play(int(action)):
                         return self._send(400, {"error": "illegal move"})
                     return self._send(200, state_payload(parts[2], sess))

@@ -107,6 +107,49 @@ class GameSession:
             "time_s": round(think, 2),
         }
 
+    def cells(self):
+        """Structured board for GUI clients: flat row-major list.
+
+        gomoku/go: -1 empty, 0 black, 1 white.  chess: -1 empty, 0-5 white
+        PNBRQK, 6-11 black (row 0 = rank 1).
+        """
+        import numpy as np
+
+        return [int(v) for v in np.asarray(self.state.board).reshape(-1)]
+
+    def move_from_squares(self, from_sq: int, to_sq: int, promo=None):
+        """Resolve a (from, to[, promo]) chess click pair to a legal action
+        index, or None.  Tries the plain encoding, then the KxR castling
+        encoding (king clicked onto its own rook or two squares sideways)."""
+        import numpy as np
+
+        from alphazero_tpu.games.chess_tables import encode_move
+
+        legal = np.asarray(self.env.legal_mask(self.state))
+        promo_code = {None: None, "": None, "q": None, "n": 1, "b": 2,
+                      "r": 3}.get(promo, None)
+        candidates = []
+        try:
+            candidates.append(encode_move(int(from_sq), int(to_sq),
+                                          promo_code))
+        except (ValueError, KeyError, ZeroDivisionError):
+            pass
+        # Castling clicked as a two-square king move: translate to the KxR
+        # encoding used by the engine (king onto rook's square).
+        fr, fc = divmod(int(from_sq), 8)
+        tr, tc = divmod(int(to_sq), 8)
+        if fr == tr and abs(fc - tc) == 2:
+            rook_c = 7 if tc > fc else 0
+            try:
+                candidates.append(
+                    encode_move(int(from_sq), fr * 8 + rook_c, None))
+            except (ValueError, KeyError, ZeroDivisionError):
+                pass
+        for a in candidates:
+            if a is not None and 0 <= a < len(legal) and legal[a]:
+                return int(a)
+        return None
+
     def undo(self) -> bool:
         if len(self.history) <= 1:
             return False

@@ -141,3 +141,38 @@ class TestRestApi:
     def test_bad_game(self, api_server):
         code, _ = api(api_server, "POST", "/api/games", {"game": "checkers"})
         assert code == 400
+
+
+class TestWebUI:
+    def test_index_serves_html(self, api_server):
+        req = urllib.request.Request(api_server + "/")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            assert "text/html" in resp.headers["Content-Type"]
+            page = resp.read().decode()
+        assert "alphazero_tpu" in page and "/api/games" in page
+
+    def test_cells_in_payload(self, api_server):
+        code, game = api(api_server, "POST", "/api/games",
+                         {"game": "gomoku", "board_size": 9})
+        assert code == 201
+        assert len(game["cells"]) == 81
+        assert all(v == -1 for v in game["cells"])
+        api(api_server, "DELETE", f"/api/games/{game['id']}")
+
+    def test_chess_click_pair_move(self, api_server):
+        code, game = api(api_server, "POST", "/api/games",
+                         {"game": "chess", "board_size": 8})
+        assert code == 201
+        gid = game["id"]
+        assert len(game["cells"]) == 64
+        # e2e4 as a (from, to) click pair: e2 = sq 12, e4 = sq 28.
+        code, st = api(api_server, "POST", f"/api/games/{gid}/move",
+                       {"from": 12, "to": 28})
+        assert code == 200
+        assert st["cells"][12] == -1 and st["cells"][28] == 0  # white pawn
+        # illegal pair rejected
+        code, _ = api(api_server, "POST", f"/api/games/{gid}/move",
+                      {"from": 12, "to": 28})
+        assert code == 400
+        api(api_server, "DELETE", f"/api/games/{gid}")
