@@ -1,4 +1,9 @@
 """Gather vs one-hot-matmul microbenchmarks on the chip."""
+# NOTE: rep-loop timings via block_until_ready are INVALID on the
+# tunneled axon platform (async dispatch; only host fetches sync —
+# see BENCHLOG.md "Axon timing caveat").  Prefer the chained
+# fori_loop + scalar-fetch methodology in tools/profile_int8.py.
+
 import json
 import os
 import time

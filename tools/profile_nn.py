@@ -4,6 +4,11 @@ Where does the 2.0 ms/forward go?  Times the bench config against ablations
 (no GroupNorm, bare conv trunk, wider-shallower trunk, padded spatial) to
 find the next utilization lever.  Run WITHOUT JAX_PLATFORMS=cpu.
 """
+# NOTE: rep-loop timings via block_until_ready are INVALID on the
+# tunneled axon platform (async dispatch; only host fetches sync —
+# see BENCHLOG.md "Axon timing caveat").  Prefer the chained
+# fori_loop + scalar-fetch methodology in tools/profile_int8.py.
+
 import time
 
 import jax

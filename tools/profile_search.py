@@ -4,6 +4,11 @@ Times, per simulation: full search, NN forward alone, env-step+obs+legal
 alone, select-loop alone, backprop alone — to find where the per-sim 35ms
 goes at batch 1024.
 """
+# NOTE: rep-loop timings via block_until_ready are INVALID on the
+# tunneled axon platform (async dispatch; only host fetches sync —
+# see BENCHLOG.md "Axon timing caveat").  Prefer the chained
+# fori_loop + scalar-fetch methodology in tools/profile_int8.py.
+
 import json
 import os
 import sys
