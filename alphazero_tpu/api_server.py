@@ -117,10 +117,13 @@ def make_handler(store: SessionStore, api_key=None):
             return json.loads(self.rfile.read(n) or b"{}")
 
         def do_GET(self):
-            if not self._auth_ok():
-                return self._send(401, {"error": "unauthorized"})
-            parts = self.path.strip("/").split("/")
-            if self.path in ("/", "/ui", "/index.html"):
+            import urllib.parse
+
+            path = urllib.parse.urlsplit(self.path).path
+            # The GUI page is served before the auth check: it contains no
+            # secrets, and the page itself carries a key field whose value
+            # is attached to its API calls as X-API-Key.
+            if path in ("/", "/ui", "/index.html"):
                 from alphazero_tpu.webui import PAGE
 
                 body = PAGE.encode()
@@ -130,6 +133,9 @@ def make_handler(store: SessionStore, api_key=None):
                 self.end_headers()
                 self.wfile.write(body)
                 return None
+            if not self._auth_ok():
+                return self._send(401, {"error": "unauthorized"})
+            parts = path.strip("/").split("/")
             if parts[:2] == ["api", "model"]:
                 return self._send(200, {
                     "engine": "alphazero_tpu",
@@ -145,9 +151,11 @@ def make_handler(store: SessionStore, api_key=None):
             return self._send(404, {"error": "not found"})
 
         def do_POST(self):
+            import urllib.parse
+
             if not self._auth_ok():
                 return self._send(401, {"error": "unauthorized"})
-            parts = self.path.strip("/").split("/")
+            parts = urllib.parse.urlsplit(self.path).path.strip("/").split("/")
             try:
                 body = self._body()
             except (ValueError, json.JSONDecodeError):
@@ -171,7 +179,14 @@ def make_handler(store: SessionStore, api_key=None):
                 if parts[3] == "move":
                     action = body.get("action")
                     if action is None and "from" in body and "to" in body:
-                        # chess GUI click pair -> action index
+                        # chess GUI click pair -> action index.  Chess only:
+                        # for gomoku/go the chess encoding could alias onto
+                        # an in-range legal board action and silently play a
+                        # move the client never intended.
+                        if sess.game != "chess":
+                            return self._send(
+                                400, {"error": "from/to moves are chess-only"}
+                            )
                         action = sess.move_from_squares(
                             body["from"], body["to"], body.get("promo"))
                     if action is None or not sess.play(int(action)):
@@ -185,9 +200,11 @@ def make_handler(store: SessionStore, api_key=None):
             return self._send(404, {"error": "not found"})
 
         def do_DELETE(self):
+            import urllib.parse
+
             if not self._auth_ok():
                 return self._send(401, {"error": "unauthorized"})
-            parts = self.path.strip("/").split("/")
+            parts = urllib.parse.urlsplit(self.path).path.strip("/").split("/")
             if len(parts) == 3 and parts[:2] == ["api", "games"]:
                 if store.delete(parts[2]):
                     return self._send(200, {"ok": True})

@@ -129,11 +129,17 @@ class GameSession:
         promo_code = {None: None, "": None, "q": None, "n": 1, "b": 2,
                       "r": 3}.get(promo, None)
         candidates = []
-        try:
-            candidates.append(encode_move(int(from_sq), int(to_sq),
-                                          promo_code))
-        except (ValueError, KeyError, ZeroDivisionError):
-            pass
+        # Try the promo-plane encoding first (so an actual underpromotion
+        # wins), but ALWAYS also try the plain encoding: the GUI sends its
+        # promo dropdown value with every move, and a non-promotion move
+        # encoded on an underpromotion plane is illegal (or unencodable).
+        for code in ([promo_code, None] if promo_code is not None
+                     else [None]):
+            try:
+                candidates.append(encode_move(int(from_sq), int(to_sq),
+                                              code))
+            except (ValueError, KeyError, ZeroDivisionError):
+                pass
         # Castling clicked as a two-square king move: translate to the KxR
         # encoding used by the engine (king onto rook's square).
         fr, fc = divmod(int(from_sq), 8)

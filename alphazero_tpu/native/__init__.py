@@ -43,6 +43,13 @@ def get_azrecord():
     global _azrecord, _build_attempted
     if _azrecord is not None:
         return _azrecord
+    # Rebuild when the source is newer than the compiled extension.
+    if (os.path.exists(_SO)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+        try:
+            os.remove(_SO)
+        except OSError:
+            pass
     if not os.path.exists(_SO):
         if _build_attempted:
             return None

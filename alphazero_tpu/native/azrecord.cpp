@@ -8,11 +8,12 @@
 // writes the same schema ~20x faster directly from the numpy buffers.
 //
 // Exposed:  _azrecord.encode_game(game_type, board_size, use_variant_rules,
-//                                 actions, policies, values, result,
-//                                 timestamp) -> bytes
+//                                 actions, policies, values, think_ms,
+//                                 result, timestamp) -> bytes
 //   actions : int32 buffer [T]
 //   policies: float32 buffer, C-contiguous [T, A]
 //   values  : float32 buffer [T]
+//   think_ms: int32 buffer [T] (per-move thinking time, game_record.h:21-122)
 //
 // Built on demand by alphazero_tpu/native/__init__.py with g++; the Python
 // encoder remains as fallback.
@@ -43,30 +44,33 @@ inline void append_int(std::string& out, long long v) {
 
 PyObject* encode_game(PyObject*, PyObject* args) {
   int game_type, board_size, use_variant, result;
-  Py_buffer actions, policies, values;
+  Py_buffer actions, policies, values, think;
   const char* timestamp;
-  if (!PyArg_ParseTuple(args, "iipy*y*y*is", &game_type, &board_size,
-                        &use_variant, &actions, &policies, &values, &result,
-                        &timestamp)) {
+  if (!PyArg_ParseTuple(args, "iipy*y*y*y*is", &game_type, &board_size,
+                        &use_variant, &actions, &policies, &values, &think,
+                        &result, &timestamp)) {
     return nullptr;
   }
 
   const int32_t* act = static_cast<const int32_t*>(actions.buf);
   const float* pol = static_cast<const float*>(policies.buf);
   const float* val = static_cast<const float*>(values.buf);
+  const int32_t* tms = static_cast<const int32_t*>(think.buf);
   const Py_ssize_t T = actions.len / static_cast<Py_ssize_t>(sizeof(int32_t));
   const Py_ssize_t A =
       T > 0 ? policies.len / static_cast<Py_ssize_t>(sizeof(float)) / T : 0;
 
   bool ok = values.len / static_cast<Py_ssize_t>(sizeof(float)) == T &&
+            think.len / static_cast<Py_ssize_t>(sizeof(int32_t)) == T &&
             (T == 0 || policies.len ==
                            T * A * static_cast<Py_ssize_t>(sizeof(float)));
   if (!ok) {
     PyBuffer_Release(&actions);
     PyBuffer_Release(&policies);
     PyBuffer_Release(&values);
+    PyBuffer_Release(&think);
     PyErr_SetString(PyExc_ValueError,
-                    "inconsistent actions/policies/values lengths");
+                    "inconsistent actions/policies/values/think_ms lengths");
     return nullptr;
   }
 
@@ -91,7 +95,9 @@ PyObject* encode_game(PyObject*, PyObject* args) {
     }
     out += "], \"value\": ";
     append_float(out, static_cast<double>(val[t]));
-    out += ", \"thinking_time_ms\": 0}";
+    out += ", \"thinking_time_ms\": ";
+    append_int(out, tms[t]);
+    out += "}";
   }
   out += "], \"result\": ";
   append_int(out, result);
@@ -102,6 +108,7 @@ PyObject* encode_game(PyObject*, PyObject* args) {
   PyBuffer_Release(&actions);
   PyBuffer_Release(&policies);
   PyBuffer_Release(&values);
+  PyBuffer_Release(&think);
   return PyBytes_FromStringAndSize(out.data(),
                                    static_cast<Py_ssize_t>(out.size()));
 }

@@ -69,12 +69,18 @@ def main(argv=None):
     rng = jax.random.key(args.seed)
     t0 = time.perf_counter()
     recs = []
+    think_ms = []  # per-move host wall ms (sync every 16 moves lumps there)
+    t_prev = t0
     for t in range(config.max_moves):
         rng, sub = jax.random.split(rng)
         states, rec = step(states, sub)
         recs.append(rec)
         if (t + 1) % 16 == 0 and bool(all_done(states)):
+            think_ms.append((time.perf_counter() - t_prev) * 1000)
             break
+        now = time.perf_counter()
+        think_ms.append((now - t_prev) * 1000)
+        t_prev = now
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *recs)
     winner = jax.vmap(env.winner)(states)
     out = SelfPlayOutput(
@@ -91,7 +97,8 @@ def main(argv=None):
     jax.block_until_ready(out.winner)
     elapsed = time.perf_counter() - t0
 
-    records = game_record.records_from_selfplay(env, out)
+    records = game_record.records_from_selfplay(env, out,
+                                                think_ms=think_ms)
     os.makedirs(args.output_dir, exist_ok=True)
     for i, rec in enumerate(records):
         rec.save(os.path.join(args.output_dir, f"game_{args.seed}_{i}.json"))

@@ -101,10 +101,13 @@ class GameRecord:
                 [m.policy for m in self.moves], np.float32
             )
             values = np.asarray([m.value for m in self.moves], np.float32)
+            think = np.asarray(
+                [m.thinking_time_ms for m in self.moves], np.int32
+            )
             return mod.encode_game(
                 int(self.game_type), int(self.board_size),
                 bool(self.use_variant_rules), actions, policies, values,
-                int(self.result),
+                think, int(self.result),
                 self.timestamp or time.strftime("%Y-%m-%dT%H:%M:%S"),
             )
         return json.dumps(self.to_json()).encode()
@@ -121,10 +124,14 @@ class GameRecord:
 
 
 def records_from_selfplay(env, output, max_games: Optional[int] = None,
-                          use_variant_rules: bool = False) -> List[GameRecord]:
+                          use_variant_rules: bool = False,
+                          think_ms=None) -> List[GameRecord]:
     """Convert a device SelfPlayOutput (selfplay/actor.py) into host
     GameRecords.  Policies/values come straight from the recorded arrays;
-    result from the final winner."""
+    result from the final winner.  ``think_ms`` is an optional [T] array of
+    per-move host wall times (the lockstep batch computes move t for every
+    game at once, so the per-game thinking time IS the batch move time —
+    reference MoveData.thinking_time_ms, game_record.h:21-122)."""
     actions = np.asarray(output.actions)  # [T, B]
     policies = np.asarray(output.policies)
     values = np.asarray(output.root_values)
@@ -132,6 +139,8 @@ def records_from_selfplay(env, output, max_games: Optional[int] = None,
     winner = np.asarray(output.winner)
     T, B = actions.shape
     n_games = B if max_games is None else min(B, max_games)
+    tms = (np.zeros(T, np.int32) if think_ms is None
+           else np.asarray(think_ms, np.int32))
 
     records = []
     for b in range(n_games):
@@ -143,7 +152,8 @@ def records_from_selfplay(env, output, max_games: Optional[int] = None,
         for t in range(T):
             if not active[t, b]:
                 break
-            rec.add_move(actions[t, b], policies[t, b], values[t, b])
+            rec.add_move(actions[t, b], policies[t, b], values[t, b],
+                         thinking_time_ms=tms[t])
         if winner[b] == 0:
             rec.set_result(GameResult.WIN_PLAYER1)
         elif winner[b] == 1:

@@ -33,6 +33,8 @@ PAGE = r"""<!doctype html>
  <label id="promoLab" style="display:none">promo
   <select id="promo"><option value="q">Q</option><option value="n">N</option>
    <option value="b">B</option><option value="r">R</option></select></label>
+ <label>key <input id="apikey" type="password" placeholder="(none)"
+   style="width:6rem" title="X-API-Key when the server runs with --api-key"></label>
  <button id="new">new game</button>
  <button id="ai">ai move</button>
  <button id="pass" style="display:none">pass</button>
@@ -45,19 +47,23 @@ const PIECES={0:"♙",1:"♘",2:"♗",3:"♖",4:"♕",5:"♔",
 let gid=null,st=null,sel=null,busy=false;
 const $=id=>document.getElementById(id);
 async function api(method,path,body){
-  const r=await fetch(path,{method,headers:{"Content-Type":"application/json"},
+  const headers={"Content-Type":"application/json"};
+  const k=$("apikey").value; if(k) headers["X-API-Key"]=k;
+  const r=await fetch(path,{method,headers,
                             body:body?JSON.stringify(body):undefined});
   const j=await r.json();
   if(!r.ok) throw new Error(j.error||r.status);
   return j;
 }
+function sideName(p){
+  // chess encodes player 0 = white (games/chess.py); go/gomoku 0 = black.
+  return st.game==="chess" ? (p===0?"white":"black") : (p===0?"black":"white");
+}
 function statusLine(extra){
   if(!st) return "no game";
   let s=`${st.game}  move ${st.move_count}  `+
-        (st.terminal?`game over — winner: ${st.winner===0?"black":st.winner===1?"white":"draw"}`
-                    :`to play: ${st.to_play===0?"black/white":"white/black"}`);
-  if(st.game==="chess") s=s.replace("black/white","white").replace("white/black","black");
-  else s=s.replace("black/white","black").replace("white/black","white");
+        (st.terminal?`game over — winner: ${st.winner>=0?sideName(st.winner):"draw"}`
+                    :`to play: ${sideName(st.to_play)}`);
   if(st.ai) s+=`\nengine: action ${st.ai.action}  value ${st.ai.value.toFixed(3)}  `+
                `${st.ai.visits} visits in ${st.ai.time_s}s`;
   return s+(extra?"\n"+extra:"");

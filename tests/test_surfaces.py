@@ -176,3 +176,63 @@ class TestWebUI:
                       {"from": 12, "to": 28})
         assert code == 400
         api(api_server, "DELETE", f"/api/games/{gid}")
+
+    def test_chess_click_pair_with_promo_dropdown(self, api_server):
+        # The GUI sends its promo dropdown value with EVERY move; a
+        # non-promotion move must still resolve (ADVICE round 1).
+        code, game = api(api_server, "POST", "/api/games",
+                         {"game": "chess", "board_size": 8})
+        gid = game["id"]
+        code, st = api(api_server, "POST", f"/api/games/{gid}/move",
+                       {"from": 12, "to": 28, "promo": "n"})
+        assert code == 200
+        assert st["cells"][28] == 0  # white pawn moved despite promo=n
+        api(api_server, "DELETE", f"/api/games/{gid}")
+
+    def test_click_pair_rejected_for_non_chess(self, api_server):
+        code, game = api(api_server, "POST", "/api/games",
+                         {"game": "gomoku", "board_size": 9})
+        gid = game["id"]
+        code, _ = api(api_server, "POST", f"/api/games/{gid}/move",
+                      {"from": 0, "to": 1})
+        assert code == 400
+        api(api_server, "DELETE", f"/api/games/{gid}")
+
+    def test_index_with_query_string(self, api_server):
+        req = urllib.request.Request(api_server + "/?foo=1")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            assert b"<!doctype html" in resp.read().lower()
+
+
+class TestApiKeyAuth:
+    @pytest.fixture(scope="class")
+    def auth_server(self):
+        from alphazero_tpu.api_server import serve
+
+        server = serve(host="127.0.0.1", port=0, simulations=4,
+                       api_key="sekrit")
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{port}"
+        server.shutdown()
+
+    def test_gui_served_without_key(self, auth_server):
+        # The GUI page itself is public (it has a key input field).
+        req = urllib.request.Request(auth_server + "/")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            assert b"apikey" in resp.read()
+
+    def test_api_requires_key(self, auth_server):
+        code, _ = api(auth_server, "GET", "/api/model")
+        assert code == 401
+
+    def test_api_with_key(self, auth_server):
+        req = urllib.request.Request(
+            auth_server + "/api/model",
+            headers={"X-API-Key": "sekrit"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
