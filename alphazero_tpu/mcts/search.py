@@ -124,9 +124,27 @@ class MCTSConfig:
     # mixes the *negated* parent mean; replicated as-is).  None = off (the
     # default): backprop is the one-shot path-mask fast path.
     td_lambda: float | None = None
+    # Tree reuse between moves (reference ParallelMCTS::updateWithMove,
+    # parallel_mcts.cpp:1065: the played child's subtree becomes the new
+    # root).  When on, `reroot` compacts up to ``reuse_cap`` surviving nodes
+    # to the front of the arena at each move boundary and new simulations
+    # allocate from slot ``reuse_cap`` — so the arena is
+    # ``reuse_cap + num_simulations`` nodes.  ``reuse_budget`` sets how many
+    # fresh simulations each move runs: "fixed" = always num_simulations
+    # (the reference's behavior — reuse buys quality); "topup" = only until
+    # every lane's root has >= num_simulations visits (reuse buys speed at
+    # equal visit quality).
+    tree_reuse: bool = False
+    reuse_cap: int = 512
+    reuse_budget: str = "topup"  # "topup" | "fixed"
+    # Re-noise cadence for the reused root (reference re-injects Dirichlet
+    # every 2 moves on the kept tree, self_play_manager.cpp:209-211).
+    renoise_every: int = 2
 
     @property
     def num_nodes(self) -> int:
+        if self.tree_reuse:
+            return self.reuse_cap + self.num_simulations
         return self.num_simulations + 1
 
 
@@ -151,6 +169,10 @@ class Tree:
     terminal: jax.Array  # bool [B, N]
     tvalue: jax.Array  # f32 [B, N] terminal value
     depth: jax.Array  # i32 [B, N]
+    # Reroot bookkeeping (written once per expansion at a scalar index; read
+    # only at move boundaries by `reroot` — never swept in the descent).
+    paction: jax.Array  # i32 [B, N] env action leading into the node; -1 root
+    pslot: jax.Array  # i32 [B, N] slot index in parent's K-row; -1 from root
     # Top-K children slots of non-root nodes.  The descent loop sweeps only
     # prior (bf16) and cchild (f16 — integers <= 2048 are exact); slot env
     # actions live in caction and are gathered ONCE per simulation after the
@@ -305,6 +327,8 @@ def instantiate_tree(
         terminal=jnp.zeros((B, N), jnp.bool_).at[:, 0].set(term),
         tvalue=jnp.zeros((B, N), jnp.float32).at[:, 0].set(tval),
         depth=jnp.zeros((B, N), jnp.int32),
+        paction=jnp.full((B, N), -1, jnp.int32),
+        pslot=jnp.full((B, N), -1, jnp.int32),
         prior=jnp.zeros((B, N, K), jnp.bfloat16),
         cchild=jnp.full((B, N, K), -2.0, jnp.float16),
         caction=jnp.full((B, N, K), -1.0, jnp.float32),
@@ -553,15 +577,18 @@ def _backprop_td(start: jax.Array, leaf_val: jax.Array,
     return out.visits, out.value_sum, out.edge_val, out.edge_hit
 
 
-def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
+def _simulate_once(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
                    config: MCTSConfig) -> Tree:
+    """One batched simulation; the expanded node is installed at arena index
+    ``slot`` (a scalar — callers allocate sequentially: ``sim+1`` for fresh
+    trees, ``reuse_cap + t`` after a reroot)."""
     B = tree.batch_size
     N = tree.capacity
     K = tree.prior.shape[-1]
     proto = env.init()  # dtype template for state packing (trace constant)
     sel = _select(tree, config)
     expand = ~sel.leaf_terminal
-    new = (sim + 1).astype(jnp.int32)
+    new = jnp.asarray(slot, jnp.int32)
 
     # --- expand: step the env on every lane's leaf ---
     leaf_packed = _gather_leaf_states(tree.states, sel.leaf_onehot, B, N)
@@ -602,6 +629,10 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
     terminal = _write_row(tree.terminal, new, child_term, expand)
     tvalue = _write_row(tree.tvalue, new, child_tval, expand)
     depth = _write_row(tree.depth, new, sel.length + 1, expand)
+    paction = _write_row(tree.paction, new,
+                         jnp.where(expand, sel.action, -1), expand)
+    pslot = _write_row(tree.pslot, new,
+                       jnp.where(expand, sel.slot, -1), expand)
 
     # --- link the parent's edge to the new node ---
     from_root = sel.slot < 0
@@ -687,6 +718,8 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, sim: jax.Array,
         terminal=terminal,
         tvalue=tvalue,
         depth=depth,
+        paction=paction,
+        pslot=pslot,
         prior=prior_arr,
         cchild=cchild,
         caction=caction,
@@ -710,7 +743,7 @@ def search(
                             noise_rng)
 
     def body(t, sim):
-        return _simulate_once(env, eval_fn, t, sim, config), ()
+        return _simulate_once(env, eval_fn, t, sim + 1, config), ()
 
     tree, _ = jax.lax.scan(
         body, tree, jnp.arange(config.num_simulations), unroll=2
@@ -750,6 +783,228 @@ def select_action(
 
 
 # ---------------------------------------------------------------------------
+# Tree reuse between moves — the reference ParallelMCTS::updateWithMove
+# (src/mcts/parallel_mcts.cpp:1065): after a move is played, the played
+# child's subtree survives and becomes the new root.  On the array arenas
+# this is a batched compaction: survivors (nodes whose depth-1 ancestor is
+# the played child) are permuted to the front of a fresh arena in allocation
+# order, all internal indices are remapped, and the played child's slot-row
+# stats are scattered into the new dense root arrays.  Everything runs as
+# one-hot einsum contractions at Precision.HIGHEST (index arithmetic must be
+# exact; a single-pass bf16 matmul is only exact to 256) — this happens once
+# per MOVE, not per simulation, so the ~[B,C,N] contractions are off the hot
+# path.
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _oh_gather(values: jax.Array, idx: jax.Array, n: int) -> jax.Array:
+    """values[b, idx[b, j]] for index arrays ([B, M] by [B, N] -> [B, M])
+    via one-hot contraction; idx < 0 yields 0."""
+    oh = (
+        idx[:, :, None] == jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)
+    return jnp.einsum("bjn,bn->bj", oh, values.astype(jnp.float32),
+                      precision=_HI)
+
+
+def _depth1_ancestor(parent: jax.Array, max_depth: int) -> jax.Array:
+    """Per-node depth-1 ancestor (the node's root edge) from parent
+    pointers, by pointer jumping: f(j) = j if parent==0 else parent[j]
+    (root/unallocated -> -1), iterated to its fixpoint in log2(max_depth)
+    doubling steps."""
+    B, N = parent.shape
+    jj = jnp.arange(N, dtype=jnp.int32)[None, :]
+    anc = jnp.where(parent == 0, jj, parent)  # -1 stays -1
+    import math
+
+    steps = max(1, math.ceil(math.log2(max(2, max_depth))))
+    for _ in range(steps):
+        nxt = jnp.round(
+            _oh_gather(anc, jnp.maximum(anc, 0), N)
+        ).astype(jnp.int32)
+        anc = jnp.where(anc > 0, nxt, anc)
+    return anc
+
+
+def reroot(
+    env,
+    tree: Tree,
+    action: jax.Array,  # i32 [B] the move just played
+    new_root_states,  # [B] env states AFTER the move (= step(root, action))
+    root_logits: jax.Array,  # [B, A] NN policy logits on new_root_states
+    root_value: jax.Array,  # f32 [B] NN value on new_root_states
+    config: MCTSConfig,
+    rng: jax.Array | None = None,
+    noise_on=True,  # bool scalar (traced ok): apply Dirichlet this move
+) -> Tree:
+    """Re-root the arenas on the played child, keeping its subtree's
+    statistics (visits, values, expanded children, env states).  Lanes whose
+    played action was never expanded get a fresh root (reference
+    updateWithMove's else-branch).  The new root's dense prior is rebuilt
+    from the fresh NN logits (the same network that produced the stored
+    top-K slot priors) + Dirichlet noise — the visit statistics, which carry
+    the search's information, are preserved exactly.
+
+    The first ``config.reuse_cap`` survivors (allocation order ~ closest to
+    the root) are kept; deeper nodes beyond the cap are dropped and simply
+    re-expand on demand (their visit contributions remain in their kept
+    ancestors' counts).  New simulations must allocate slots
+    ``reuse_cap + t``."""
+    B, N = tree.visits.shape
+    A = tree.num_actions
+    K = tree.prior.shape[-1]
+    C = min(config.reuse_cap, N)
+
+    # --- survivors: nodes whose root edge is the played action ---
+    oh_a = _onehot(action, A)
+    child0 = _vec_gather(tree.root_child, oh_a).astype(jnp.int32)
+    # [B]; -1 when the played child was never expanded (i32 sum path: exact)
+    has_reuse = child0 >= 0
+    anc1 = _depth1_ancestor(tree.parent, config.max_depth + 2)
+    member = (
+        (anc1 == child0[:, None]) & (tree.visits > 0) & has_reuse[:, None]
+    )
+    new_idx = jnp.cumsum(member.astype(jnp.int32), axis=1) - 1
+    member = member & (new_idx < C)
+    old_to_new = jnp.where(member, new_idx, -1).astype(jnp.float32)
+
+    # --- permutation [B, C(new), N(old)] ---
+    perm = (
+        (new_idx[:, None, :] == jnp.arange(C, dtype=jnp.int32)[None, :, None])
+        & member[:, None, :]
+    ).astype(jnp.float32)
+
+    def pvec(x):  # [B, N] -> [B, C]
+        return jnp.einsum("bji,bi->bj", perm, x.astype(jnp.float32),
+                          precision=_HI)
+
+    def pmat(x):  # [B, N, ...] -> [B, C, ...]
+        flat = x.reshape(B, N, -1).astype(jnp.float32)
+        out = jnp.einsum("bji,bix->bjx", perm, flat, precision=_HI)
+        return out.reshape((B, C) + x.shape[2:])
+
+    visits_p = jnp.round(pvec(tree.visits)).astype(jnp.int32)
+    vsum_p = pvec(tree.value_sum)
+    term_p = pvec(tree.terminal) > 0.5
+    tval_p = pvec(tree.tvalue)
+    depth_p = jnp.maximum(
+        jnp.round(pvec(tree.depth)).astype(jnp.int32) - 1, 0
+    )
+    paction_p = jnp.round(pvec(tree.paction)).astype(jnp.int32)
+    pslot_p = jnp.round(pvec(tree.pslot)).astype(jnp.int32)
+    parent_old_p = jnp.round(pvec(tree.parent)).astype(jnp.int32)
+    prior_p = pmat(tree.prior).astype(jnp.bfloat16)
+    caction_p = pmat(tree.caction)
+    cchild_p = pmat(tree.cchild)  # old-frame indices; remapped below
+    states_p = jax.tree_util.tree_map(
+        lambda x: pmat(x).astype(x.dtype), tree.states
+    )
+
+    # --- remap parent pointers into the new frame ---
+    parent_p = jnp.round(
+        _oh_gather(old_to_new, jnp.maximum(parent_old_p, 0), N)
+    ).astype(jnp.int32)
+    parent_p = jnp.where(parent_old_p >= 0, parent_p, -1)
+    # new root: its old parent was node 0 (non-member) -> old_to_new = -1 ✓
+
+    # --- rebuild child links from (parent, slot) in the new frame ---
+    jvals = jnp.arange(C, dtype=jnp.float32)[None, :]
+    is_deep = parent_p > 0  # depth >= 2: lives in a K-slot row
+    ohp = (
+        parent_p[:, :, None] == jnp.arange(C, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32) * is_deep[:, :, None]
+    ohs = (
+        pslot_p[:, :, None] == jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)
+    recon = jnp.einsum("bjn,bjk->bnk", ohp * jvals[:, :, None], ohs,
+                       precision=_HI)  # [B, C, K]; 0 = no surviving child
+    cchild_new = jnp.where(
+        cchild_p >= 0,
+        jnp.where(recon > 0, recon, -1.0),
+        jnp.where(cchild_p > -1.5, -1.0, -2.0),  # keep -1/-2 structure
+    ).astype(jnp.float16)
+
+    # --- dense root arrays from the depth-1 survivors ---
+    is_d1 = parent_p == 0
+    ohA = (
+        paction_p[:, :, None] == jnp.arange(A, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32) * is_d1[:, :, None]
+    root_child_new = jnp.einsum("bja,j->ba", ohA,
+                                jnp.arange(C, dtype=jnp.float32),
+                                precision=_HI)
+    root_child_new = jnp.where(root_child_new > 0,
+                               jnp.round(root_child_new), -1).astype(jnp.int32)
+    root_evisits_new = jnp.round(jnp.einsum(
+        "bja,bj->ba", ohA, visits_p.astype(jnp.float32), precision=_HI
+    )).astype(jnp.int32)
+    root_evalue_new = jnp.einsum("bja,bj->ba", ohA, vsum_p, precision=_HI)
+
+    # --- fresh root data (used whole for no-reuse lanes; prior for all) ---
+    legal = jax.vmap(env.legal_mask)(new_root_states)
+    prior = masked_softmax(root_logits, legal)
+    if rng is not None and config.dirichlet_epsilon > 0:
+        noise = jax.random.gamma(rng, config.dirichlet_alpha, shape=(B, A))
+        noise = jnp.where(legal, noise, 0.0)
+        noise = noise / jnp.maximum(noise.sum(-1, keepdims=True), 1e-30)
+        eps = config.dirichlet_epsilon * jnp.asarray(noise_on, jnp.float32)
+        prior = (1 - eps) * prior + eps * noise
+        prior = jnp.where(legal, prior, 0.0)
+
+    term = jax.vmap(env.terminal_flag)(new_root_states)
+    to_play = jax.vmap(env.to_play)(new_root_states)
+    winner = jax.vmap(env.winner)(new_root_states)
+    tval = terminal_value(winner, to_play)
+    fresh_v = jnp.where(term, tval, root_value)
+
+    # --- assemble the new arena: survivors at [0, C), zeros beyond ---
+    ru = has_reuse  # [B]
+
+    def front(x_p, fresh_row=None, dtype=None, fill=0):
+        """Survivor block + fresh-lane row 0 override, padded to N."""
+        dt = dtype or x_p.dtype
+        pad = jnp.full((B, N - C) + x_p.shape[2:], fill, dt)
+        x = jnp.concatenate([x_p.astype(dt), pad], axis=1)
+        if fresh_row is not None:
+            row0 = jax.lax.dynamic_index_in_dim(x, 0, 1, False)
+            row0 = jnp.where(
+                ru.reshape((-1,) + (1,) * (row0.ndim - 1)),
+                row0, fresh_row.astype(dt),
+            )
+            x = jax.lax.dynamic_update_index_in_dim(x, row0, 0, 1)
+        return x
+
+    states_new = jax.tree_util.tree_map(
+        lambda xp, fresh: front(xp, fresh_row=fresh),
+        states_p, _pack_state(new_root_states, env),
+    )
+
+    return Tree(
+        root_prior=prior.astype(jnp.float32),
+        root_child=jnp.where(ru[:, None], root_child_new, -1),
+        root_evisits=jnp.where(ru[:, None], root_evisits_new, 0),
+        root_evalue=jnp.where(ru[:, None], root_evalue_new, 0.0),
+        visits=front(visits_p, fresh_row=jnp.ones((B,), jnp.int32)),
+        value_sum=front(vsum_p, fresh_row=fresh_v, dtype=jnp.float32),
+        parent=front(parent_p, fill=-1,
+                     fresh_row=jnp.full((B,), -1, jnp.int32)),
+        terminal=front(term_p, fresh_row=term),
+        tvalue=front(tval_p, fresh_row=tval, dtype=jnp.float32),
+        depth=front(depth_p, fresh_row=jnp.zeros((B,), jnp.int32)),
+        paction=front(paction_p, fill=-1,
+                      fresh_row=jnp.full((B,), -1, jnp.int32)),
+        pslot=front(pslot_p, fill=-1,
+                    fresh_row=jnp.full((B,), -1, jnp.int32)),
+        prior=front(prior_p, fresh_row=jnp.zeros((B, K), jnp.bfloat16)),
+        cchild=front(cchild_new, fill=-2.0,
+                     fresh_row=jnp.full((B, K), -2.0, jnp.float16)),
+        caction=front(caction_p, fill=-1.0,
+                      fresh_row=jnp.full((B, K), -1.0, jnp.float32)),
+        states=states_new,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Host-driven search: the simulation loop runs in Python with donated
 # buffers instead of inside lax.scan.  Profiling on v5e showed the nested
 # while-in-scan structure forces XLA to copy the big arena carries every
@@ -786,9 +1041,9 @@ def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig,
                                 noise_rng)
 
     @_functools.partial(jax.jit, donate_argnums=(1,))
-    def sim_fn(params, tree, sim):
+    def sim_fn(params, tree, slot):
         return _simulate_once(
-            env, lambda o, tp: param_eval(params, o, tp), tree, sim, config
+            env, lambda o, tp: param_eval(params, o, tp), tree, slot, config
         )
 
     @jax.jit
@@ -803,7 +1058,7 @@ def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig,
     def run_with_params(params, root_states, rng) -> SearchOutput:
         tree = init_fn(params, root_states, rng)
         for sim in range(sims):
-            tree = sim_fn(params, tree, sim)
+            tree = sim_fn(params, tree, sim + 1)
         counts, weights, root_value = finalize_fn(tree)
         return SearchOutput(
             visit_counts=counts,
@@ -815,3 +1070,125 @@ def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig,
     if with_params:
         return run_with_params
     return lambda root_states, rng: run_with_params(None, root_states, rng)
+
+
+class HostReuseSearch:
+    """Host-driven search with tree reuse between moves (the reference's
+    ``updateWithMove`` + every-2-moves re-noise loop,
+    self_play_manager.cpp:205-211).
+
+    Call ``run(params, root_states, rng)`` each move; the previous move's
+    tree is re-rooted on the action reported via ``notify_action``.  With
+    ``config.reuse_budget == "topup"`` each move runs only enough fresh
+    simulations that every lane's root reaches ``num_simulations`` visits
+    (one small host fetch per move); ``"fixed"`` always runs the full count
+    (reference behavior — reuse buys quality, not time).  Call ``reset()``
+    whenever the caller swaps in unrelated root states (new games)."""
+
+    def __init__(self, env, eval_fn: EvalFn, config: MCTSConfig,
+                 with_params: bool = False):
+        if not config.tree_reuse:
+            raise ValueError("HostReuseSearch needs config.tree_reuse=True")
+        self.config = config
+        self._with_params = with_params
+
+        if with_params:
+            param_eval = eval_fn
+        else:
+            def param_eval(_, obs, to_play):
+                return eval_fn(obs, to_play)
+
+        @jax.jit
+        def init_fn(params, root_states, rng):
+            noise_rng, _ = jax.random.split(rng)
+            obs = jax.vmap(env.observation)(root_states)
+            logits, value = param_eval(
+                params, obs, jax.vmap(env.to_play)(root_states)
+            )
+            return instantiate_tree(env, root_states, logits, value, config,
+                                    noise_rng)
+
+        @_functools.partial(jax.jit, donate_argnums=(1,))
+        def reroot_fn(params, tree, action, root_states, rng, noise_on):
+            obs = jax.vmap(env.observation)(root_states)
+            logits, value = param_eval(
+                params, obs, jax.vmap(env.to_play)(root_states)
+            )
+            return reroot(env, tree, action, root_states, logits, value,
+                          config, rng=rng, noise_on=noise_on)
+
+        @_functools.partial(jax.jit, donate_argnums=(1,))
+        def sim_fn(params, tree, slot):
+            return _simulate_once(
+                env, lambda o, tp: param_eval(params, o, tp), tree, slot,
+                config,
+            )
+
+        @jax.jit
+        def finalize_fn(tree):
+            counts = tree.root_evisits
+            weights = counts / jnp.maximum(counts.sum(-1, keepdims=True), 1)
+            root_value = (
+                tree.value_sum[:, 0] / jnp.maximum(tree.visits[:, 0], 1)
+            )
+            return counts, weights.astype(jnp.float32), root_value
+
+        @jax.jit
+        def min_root_visits(tree):
+            return jnp.min(tree.visits[:, 0])
+
+        self._init_fn = init_fn
+        self._reroot_fn = reroot_fn
+        self._sim_fn = sim_fn
+        self._finalize_fn = finalize_fn
+        self._min_root_visits = min_root_visits
+        self.reset()
+
+    def reset(self):
+        self._tree = None
+        self._last_action = None
+        self._move_idx = 0
+        self.last_fresh_sims = 0  # diagnostics: sims run on the last move
+
+    def notify_action(self, action: jax.Array):
+        """Record the action about to be played (i32 [B]) so the next call
+        re-roots on it."""
+        self._last_action = action
+
+    def run(self, params, root_states, rng) -> SearchOutput:
+        cfg = self.config
+        sims = cfg.num_simulations
+        if self._tree is None or self._last_action is None:
+            tree = self._init_fn(params, root_states, rng)
+            start, n_new = 1, sims
+        else:
+            noise_on = jnp.asarray(
+                self._move_idx % max(1, cfg.renoise_every) == 0, bool
+            )
+            tree = self._reroot_fn(params, self._tree, self._last_action,
+                                   root_states, rng, noise_on)
+            start = min(cfg.reuse_cap, tree.visits.shape[1])
+            if cfg.reuse_budget == "topup":
+                reused = int(self._min_root_visits(tree))
+                n_new = max(0, min(sims, sims - reused + 1))
+            else:
+                n_new = sims
+        for t in range(n_new):
+            tree = self._sim_fn(params, tree, start + t)
+        counts, weights, root_value = self._finalize_fn(tree)
+        self._tree = tree
+        self._last_action = None
+        self._move_idx += 1
+        self.last_fresh_sims = n_new
+        return SearchOutput(
+            visit_counts=counts,
+            action_weights=weights,
+            root_value=root_value,
+            tree=tree,
+        )
+
+    def __call__(self, *args):
+        if self._with_params:
+            return self.run(*args)
+        params, rest = None, args
+        return self.run(params, *rest)

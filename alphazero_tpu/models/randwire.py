@@ -142,7 +142,9 @@ class DDWRandWireResNet(nn.Module):
     cfg: RandWireConfig = RandWireConfig()
 
     @nn.compact
-    def __call__(self, obs) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, obs, train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        # ``train`` accepted for train-step API parity (GroupNorm trunk: the
+        # same pure function in both modes).
         cfg = self.cfg
         x = jnp.transpose(obs.astype(cfg.dtype), (0, 2, 3, 1))
         x = nn.Conv(cfg.channels, (3, 3), padding="SAME", use_bias=False,

@@ -3,10 +3,16 @@
 The flagship net: same capability envelope as the reference's canonical
 model family (``python/alphazero/models/ddw_randwire.py:9-235`` — SEBlock,
 ResidualBlock, policy head 1x1-conv-32 -> FC, value head 1x1-conv-32 -> FC256
--> tanh) but with a TPU-shaped trunk: NHWC layout, bf16 compute / f32 params
-(the MXU's native mix), GroupNorm instead of BatchNorm so self-play inference
-and training are the same pure function (no running stats to thread through a
-jitted actor loop).  The random-wire DAG variant lives in
+-> tanh) with a TPU-shaped trunk: NHWC layout, bf16 compute / f32 params
+(the MXU's native mix).
+
+Normalization follows the reference's BatchNorm (``ddw_randwire.py:27-45``):
+training threads a ``batch_stats`` collection, and for inference the BN
+affine folds into the conv weights (``fold_batch_norm``) so the self-play
+eval path is pure convs + bias — no normalization work at all on the hot
+path.  ``norm="group"`` remains available (single pure function for train
+and inference, no running stats) and ``norm="none"`` is the folded-inference
+form.  The random-wire DAG variant lives in
 ``alphazero_tpu/models/randwire.py``.
 """
 from __future__ import annotations
@@ -27,8 +33,9 @@ class ResNetConfig:
     policy_channels: int = 32  # reference policy head width
     value_channels: int = 32
     value_hidden: int = 256  # reference value head FC width
-    norm: str = "group"  # "group" | "none"
+    norm: str = "batch"  # "batch" (reference BN) | "group" | "none"
     group_size: int = 32
+    bn_momentum: float = 0.9
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -51,31 +58,48 @@ class SEBlock(nn.Module):
         return x * gate
 
 
+def _make_norm(cfg: ResNetConfig, train: bool):
+    """Norm layer factory; returns a callable applied post-conv."""
+    if cfg.norm == "batch":
+        def apply(x):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=cfg.bn_momentum,
+                dtype=jnp.float32,  # stats/affine in f32; folds away anyway
+            )(x).astype(cfg.dtype)
+
+        return apply
+    if cfg.norm == "group":
+        def apply(x):
+            return nn.GroupNorm(
+                num_groups=max(1, cfg.channels // cfg.group_size),
+                dtype=cfg.dtype,
+            )(x)
+
+        return apply
+    return lambda x: x
+
+
 class ResBlock(nn.Module):
     """3x3 conv x2 + SE + residual (reference ResidualBlock,
     ddw_randwire.py:27-45)."""
 
     cfg: ResNetConfig
 
-    def norm(self):
-        if self.cfg.norm == "group":
-            return nn.GroupNorm(
-                num_groups=max(1, self.cfg.channels // self.cfg.group_size),
-                dtype=self.cfg.dtype,
-            )
-        return lambda x: x
-
     @nn.compact
-    def __call__(self, x):
-        c = self.cfg.channels
-        h = nn.Conv(c, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.cfg.dtype, param_dtype=self.cfg.param_dtype)(x)
-        h = self.norm()(h)
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        c = cfg.channels
+        norm = _make_norm(cfg, train)
+        use_bias = cfg.norm == "none"  # folded-BN form carries the bias
+        h = nn.Conv(c, (3, 3), padding="SAME", use_bias=use_bias,
+                    dtype=cfg.dtype, param_dtype=cfg.param_dtype)(x)
+        h = norm(h)
         h = nn.relu(h)
-        h = nn.Conv(c, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.cfg.dtype, param_dtype=self.cfg.param_dtype)(h)
-        h = self.norm()(h)
-        h = SEBlock(c, self.cfg.se_ratio, self.cfg.dtype)(h)
+        h = nn.Conv(c, (3, 3), padding="SAME", use_bias=use_bias,
+                    dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h)
+        h = norm(h)
+        h = SEBlock(c, cfg.se_ratio, cfg.dtype)(h)
         return nn.relu(x + h)
 
 
@@ -88,19 +112,17 @@ class AZResNet(nn.Module):
     cfg: ResNetConfig = ResNetConfig()
 
     @nn.compact
-    def __call__(self, obs) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, obs, train: bool = False) -> Tuple[jax.Array, jax.Array]:
         cfg = self.cfg
+        norm = _make_norm(cfg, train)
+        use_bias = cfg.norm == "none"
         x = jnp.transpose(obs.astype(cfg.dtype), (0, 2, 3, 1))  # NCHW->NHWC
-        x = nn.Conv(cfg.channels, (3, 3), padding="SAME", use_bias=False,
+        x = nn.Conv(cfg.channels, (3, 3), padding="SAME", use_bias=use_bias,
                     dtype=cfg.dtype, param_dtype=cfg.param_dtype)(x)
-        if cfg.norm == "group":
-            x = nn.GroupNorm(
-                num_groups=max(1, cfg.channels // cfg.group_size),
-                dtype=cfg.dtype,
-            )(x)
+        x = norm(x)
         x = nn.relu(x)
         for _ in range(cfg.num_blocks):
-            x = ResBlock(cfg)(x)
+            x = ResBlock(cfg)(x, train=train)
 
         # Policy head (reference: 1x1 conv 32ch + FC to action size).
         p = nn.Conv(cfg.policy_channels, (1, 1), dtype=cfg.dtype,
@@ -127,6 +149,47 @@ class AZResNet(nn.Module):
         return logits.astype(jnp.float32), value
 
 
+def fold_batch_norm(model: AZResNet, variables):
+    """Fold a trained (or initialized) ``norm="batch"`` model's BN layers
+    into the conv weights, returning ``(inference_model, inference_vars)``
+    with ``norm="none"`` — the TPU inference form: the BN affine
+    (gamma/sqrt(var+eps) scale + beta-mean*scale shift) becomes a conv
+    kernel scale + bias, exactly as the reference's deployment-time BN
+    freezing would.  y = BN(conv(x)) == conv'(x) + b' with
+    W' = W * s[out], b' = beta - mean * s, s = gamma / sqrt(var + eps)."""
+    from flax.core import unfreeze
+
+    cfg = model.cfg
+    if cfg.norm != "batch":
+        raise ValueError("fold_batch_norm needs a norm='batch' model")
+    params = unfreeze(variables["params"])
+    stats = unfreeze(variables.get("batch_stats", {}))
+    eps = 1e-5  # flax nn.BatchNorm default
+
+    def fold_into(scope_params, scope_stats, conv_name, bn_name):
+        bn_p = scope_params.pop(bn_name)
+        bn_s = scope_stats[bn_name]
+        s = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)
+        b = bn_p["bias"] - bn_s["mean"] * s
+        conv = dict(scope_params[conv_name])
+        conv["kernel"] = conv["kernel"] * s  # HWIO: scale out-channels
+        conv["bias"] = b.astype(conv["kernel"].dtype)
+        scope_params[conv_name] = conv
+
+    top = params  # unfreeze gave us a private mutable copy
+    fold_into(top, stats, "Conv_0", "BatchNorm_0")
+    for i in range(cfg.num_blocks):
+        blk = dict(top[f"ResBlock_{i}"])
+        blk_stats = stats[f"ResBlock_{i}"]
+        fold_into(blk, blk_stats, "Conv_0", "BatchNorm_0")
+        fold_into(blk, blk_stats, "Conv_1", "BatchNorm_1")
+        top[f"ResBlock_{i}"] = blk
+
+    folded_cfg = dataclasses.replace(cfg, norm="none")
+    folded_model = AZResNet(num_actions=model.num_actions, cfg=folded_cfg)
+    return folded_model, {"params": top}
+
+
 def make_eval_fn(model: nn.Module, params):
     """Close params over the model into the MCTS EvalFn signature."""
 
@@ -134,6 +197,15 @@ def make_eval_fn(model: nn.Module, params):
         return model.apply(params, obs)
 
     return eval_fn
+
+
+def make_inference_eval_fn(model: nn.Module, variables):
+    """Like ``make_eval_fn`` but BN-folds first when applicable — the
+    self-play/deployment fast path."""
+    cfg = getattr(model, "cfg", None)
+    if cfg is not None and getattr(cfg, "norm", None) == "batch":
+        model, variables = fold_batch_norm(model, variables)
+    return make_eval_fn(model, variables)
 
 
 def init_params(model: nn.Module, rng: jax.Array, obs_shape, batch: int = 1):

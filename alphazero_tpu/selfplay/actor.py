@@ -153,11 +153,22 @@ def make_host_actor(env, eval_fn: EvalFn, config: SelfPlayConfig,
     than the scan-carried loop on v5e).  Returns (step, init_states) where
     ``step(states, rng)`` — or ``step(params, states, rng)`` when
     ``with_params`` (params as jit args so weight refreshes don't retrace) —
-    yields ``(new_states, MoveRecord)``."""
-    from alphazero_tpu.mcts.search import make_host_search
+    yields ``(new_states, MoveRecord)``.
 
-    run_search = make_host_search(env, eval_fn, config.mcts,
-                                  with_params=with_params)
+    With ``config.mcts.tree_reuse`` the search keeps each game's tree
+    between moves and re-roots it on the played action (reference
+    ``updateWithMove`` + every-2-moves re-noise,
+    self_play_manager.cpp:205-211).  The returned ``step`` then carries
+    per-batch search state: call ``step.reset()`` before feeding it root
+    states unrelated to the previous move's games."""
+    from alphazero_tpu.mcts.search import HostReuseSearch, make_host_search
+
+    if config.mcts.tree_reuse:
+        run_search = HostReuseSearch(env, eval_fn, config.mcts,
+                                     with_params=with_params)
+    else:
+        run_search = make_host_search(env, eval_fn, config.mcts,
+                                      with_params=with_params)
 
     @jax.jit
     def act_and_step(states, visit_counts, root_value, act_rng):
@@ -179,17 +190,29 @@ def make_host_actor(env, eval_fn: EvalFn, config: SelfPlayConfig,
         )
         return jax.vmap(env.step)(states, action), record
 
+    reuse = config.mcts.tree_reuse
+
     if with_params:
         def step(params, states, rng):
             search_rng, act_rng = jax.random.split(rng)
             out = run_search(params, states, search_rng)
-            return act_and_step(states, out.visit_counts, out.root_value,
-                                act_rng)
+            new_states, record = act_and_step(
+                states, out.visit_counts, out.root_value, act_rng
+            )
+            if reuse:
+                run_search.notify_action(record.action)
+            return new_states, record
     else:
         def step(states, rng):
             search_rng, act_rng = jax.random.split(rng)
             out = run_search(states, search_rng)
-            return act_and_step(states, out.visit_counts, out.root_value,
-                                act_rng)
+            new_states, record = act_and_step(
+                states, out.visit_counts, out.root_value, act_rng
+            )
+            if reuse:
+                run_search.notify_action(record.action)
+            return new_states, record
 
+    step.reset = run_search.reset if reuse else (lambda: None)
+    step.search = run_search  # diagnostics (last_fresh_sims)
     return step, _batched_init(env, batch_size)

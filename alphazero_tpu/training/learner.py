@@ -64,6 +64,9 @@ def make_optimizer(config: LearnerConfig) -> optax.GradientTransformation:
 
 def create_train_state(model, rng, obs_shape, config: LearnerConfig,
                        params=None) -> Tuple[TrainState, optax.GradientTransformation]:
+    """``params`` throughout the train state is the FULL flax variables dict
+    ({'params': ..., 'batch_stats': ...} for BatchNorm models) — the same
+    object the actor's inference ``model.apply`` takes."""
     if params is None:
         dummy = jnp.zeros((1,) + tuple(obs_shape), jnp.float32)
         params = model.init(rng, dummy)
@@ -71,7 +74,7 @@ def create_train_state(model, rng, obs_shape, config: LearnerConfig,
     return (
         TrainState(
             params=params,
-            opt_state=tx.init(params),
+            opt_state=tx.init(params["params"]),
             step=jnp.zeros((), jnp.int32),
         ),
         tx,
@@ -95,19 +98,30 @@ def train_step(
     """One SGD step.  Pure; jit with params replicated and batch sharded on
     the mesh data axis — XLA inserts the gradient all-reduce."""
 
-    def loss_fn(params):
-        logits, value = model.apply(params, batch.obs)
+    variables = dict(state.params)
+    aux_cols = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p):
+        # BatchNorm models run in train mode with mutable running stats
+        # (reference train loop runs model.train(); train.py:274-330).
+        logits_value, new_model_state = model.apply(
+            {"params": p, **aux_cols}, batch.obs, train=True,
+            mutable=["batch_stats"],
+        )
+        logits, value = logits_value
         out = alphazero_loss(
             logits, value, batch.policy, batch.value,
             config.policy_weight, config.value_weight,
         )
-        return out.total, out
+        return out.total, (out, new_model_state)
 
-    (_, loss_out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params
-    )
-    updates, opt_state = tx.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
+    (_, (loss_out, new_model_state)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(variables["params"])
+    updates, opt_state = tx.update(grads, state.opt_state,
+                                   variables["params"])
+    new_inner = optax.apply_updates(variables["params"], updates)
+    params = {"params": new_inner, **aux_cols, **dict(new_model_state)}
     gnorm = optax.global_norm(grads)
     return (
         TrainState(params=params, opt_state=opt_state, step=state.step + 1),

@@ -35,7 +35,11 @@ def main():
 
     from alphazero_tpu.games.gomoku import GomokuEnv
     from alphazero_tpu.mcts.search import MCTSConfig
-    from alphazero_tpu.models.resnet import AZResNet, ResNetConfig
+    from alphazero_tpu.models.resnet import (
+        AZResNet,
+        ResNetConfig,
+        make_inference_eval_fn,
+    )
     from alphazero_tpu.selfplay.actor import SelfPlayConfig, make_host_actor
 
     env = GomokuEnv(board_size=15)
@@ -44,9 +48,9 @@ def main():
     params = model.init(
         rng, jnp.zeros((1,) + env.observation_shape, jnp.float32)
     )
-
-    def eval_fn(obs, to_play=None):
-        return model.apply(params, obs)
+    # BN-folded inference form: the conv trunk absorbs the normalization
+    # (models/resnet.fold_batch_norm) — no norm work on the hot path.
+    eval_fn = make_inference_eval_fn(model, params)
 
     config = SelfPlayConfig(
         mcts=MCTSConfig(num_simulations=sims), max_moves=moves

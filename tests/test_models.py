@@ -94,3 +94,63 @@ class TestRandWire:
         for seed in range(5):
             edges = watts_strogatz_dag(16, 4, 0.75, seed)
             assert all(u < v for u, v in edges)
+
+
+class TestBatchNormFold:
+    """BN-folded inference (models/resnet.fold_batch_norm): the reference
+    family's BatchNorm (ddw_randwire.py:27-45) folded into conv weights."""
+
+    def _model(self):
+        from alphazero_tpu.models.resnet import AZResNet, ResNetConfig
+
+        cfg = ResNetConfig(num_blocks=2, channels=32, norm="batch")
+        return AZResNet(num_actions=49, cfg=cfg)
+
+    def test_fold_matches_after_training_steps(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from alphazero_tpu.models.resnet import fold_batch_norm
+        from alphazero_tpu.training.learner import (
+            LearnerConfig,
+            create_train_state,
+            train_step,
+        )
+        from alphazero_tpu.training.replay import Batch
+
+        model = self._model()
+        lcfg = LearnerConfig()
+        state, tx = create_train_state(model, jax.random.key(0), (3, 7, 7),
+                                       lcfg)
+        rng = jax.random.key(1)
+        for i in range(3):  # make the running stats non-trivial
+            rng, sub = jax.random.split(rng)
+            obs = jax.random.normal(sub, (8, 3, 7, 7))
+            batch = Batch(obs=obs, policy=jnp.ones((8, 49)) / 49,
+                          value=jnp.zeros((8,)))
+            state, _ = train_step(state, batch, model, tx, lcfg)
+
+        obs = jax.random.normal(jax.random.key(9), (4, 3, 7, 7))
+        l1, v1 = model.apply(state.params, obs)  # inference (running stats)
+        fm, fv = fold_batch_norm(model, state.params)
+        l2, v2 = fm.apply(fv, obs)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   atol=2e-2)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=2e-2)
+        # The folded tree must contain no norm parameters at all.
+        flat = jax.tree_util.tree_flatten_with_path(fv)[0]
+        assert not any("BatchNorm" in str(k) for k, _ in flat)
+
+    def test_inference_eval_fn_folds(self):
+        import jax
+        import jax.numpy as jnp
+
+        from alphazero_tpu.models.resnet import make_inference_eval_fn
+
+        model = self._model()
+        vs = model.init(jax.random.key(0), jnp.zeros((1, 3, 7, 7)))
+        eval_fn = make_inference_eval_fn(model, vs)
+        logits, value = eval_fn(jnp.zeros((2, 3, 7, 7)))
+        assert logits.shape == (2, 49) and value.shape == (2,)
