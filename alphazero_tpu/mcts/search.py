@@ -109,9 +109,21 @@ class MCTSConfig:
     # (parent mean minus fpu_reduction — the reference's FPU path,
     # mcts_node.cpp:97-107).
     unvisited_q: str = "zero"
-    # Reference quirk: +0.05*(5-visits) bonus for children with <5 visits
-    # (mcts_node.cpp:112-116).  Off by default.
+    # Reference quirk: +0.05*(5-visits) bonus for VISITED children with <5
+    # visits (mcts_node.cpp:112-116; unvisited children short-circuit to
+    # +inf before the bonus).  Off by default.
     diversity_bonus: bool = False
+    # Parity mode: replicate the reference's serial deterministic search
+    # exactly (tests/test_parity_reference.py vs tools/parity/parity_dump):
+    # unvisited children score +inf and are taken in slot order
+    # (mcts_node.cpp:63-66 + std::max_element first-max), the diversity
+    # bonus is on, and the root's PUCT parent-visit count is inflated to
+    # 4s+3 at simulation s — the reference adds virtual loss to the root
+    # twice per simulation (selectLeafWithPath entry + the path loop,
+    # parallel_mcts.cpp:461,293-295) but removes it once (backpropagate),
+    # so root visitCount during descent = real_visits + 3*(s+1).  Use with
+    # max_children >= num_actions so slots are full-width action-ordered.
+    parity_mode: bool = False
     # Non-root nodes track their top-K prior actions (the root keeps the
     # full action space).
     max_children: int = 32
@@ -265,8 +277,14 @@ def _puct(
         / (1.0 + cv)
     )
     score = q + u
-    if config.diversity_bonus:
-        score = score + jnp.where(cv < 5, 0.05 * (5 - cv), 0.0)
+    if config.diversity_bonus or config.parity_mode:
+        score = score + jnp.where((cv > 0) & (cv < 5), 0.05 * (5 - cv), 0.0)
+    if config.parity_mode:
+        # Unvisited children win outright, earliest slot first (reference
+        # +inf + first-max; slot order == action order in parity mode).
+        S = prior.shape[-1]
+        idx = jnp.arange(S, dtype=jnp.float32)[None, :]
+        score = jnp.where((cv == 0) & (prior > 0), 1e6 - idx, score)
     return jnp.where(prior > 0, score, -jnp.inf)
 
 
@@ -372,6 +390,9 @@ def _select(tree: Tree, config: MCTSConfig) -> _SelectResult:
     root_term = tree.terminal[:, 0]
     nv0 = tree.visits[:, 0]
     nval0 = tree.value_sum[:, 0] / jnp.maximum(nv0, 1)
+    if config.parity_mode:
+        # Reference root visit inflation: see MCTSConfig.parity_mode.
+        nv0 = 4 * (nv0 - 1) + 3
     scores = _puct(
         tree.root_prior, tree.root_evisits, tree.root_evalue,
         nv0, nval0, config,
@@ -600,11 +621,19 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
     logits, value = eval_fn(obs, child_to_play)
     legal = jax.vmap(env.legal_mask)(child_state)
     full_prior = masked_softmax(logits, legal)
-    # approx_max_k hits the TPU fast path (lax.top_k full-sorts: ~3ms at
-    # [1024, 225] vs ~0.1ms approximate).  Slot priors are heuristic
-    # orderings, so the ~2% recall loss is immaterial.
-    topv, topa = jax.lax.approx_max_k(full_prior, K)  # [B, K]
-    topa = topa.astype(jnp.int32)
+    if config.parity_mode and K == full_prior.shape[-1]:
+        # Identity slots: slot k <-> action k, so slot order is action
+        # order (the reference's child creation order surrogate).
+        topv = full_prior
+        topa = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, :], full_prior.shape
+        )
+    else:
+        # approx_max_k hits the TPU fast path (lax.top_k full-sorts: ~3ms
+        # at [1024, 225] vs ~0.1ms approximate).  Slot priors are heuristic
+        # orderings, so the ~2% recall loss is immaterial.
+        topv, topa = jax.lax.approx_max_k(full_prior, K)  # [B, K]
+        topa = topa.astype(jnp.int32)
 
     child_term = jax.vmap(env.terminal_flag)(child_state)
     child_winner = jax.vmap(env.winner)(child_state)

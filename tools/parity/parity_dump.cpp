@@ -50,12 +50,9 @@ static void dump_position(const std::vector<int>& moves, int sims,
   config.useBatchedMCTS = false;
   config.useBatchInference = false;
 
-  std::fprintf(stderr, "nn ctor done\n");
   ParallelMCTS mcts(*state, config, &nn, nullptr);
-  std::fprintf(stderr, "mcts ctor done\n");
   mcts.setDeterministicMode(true);
   mcts.search();
-  std::fprintf(stderr, "search done\n");
 
   const int A = state->getActionSpaceSize();
   std::vector<long> visits(A, 0);
@@ -87,9 +84,13 @@ int main() {
   const int N = 15;
   auto rc = [N](int r, int c) { return r * N + c; };
 
-  // Empty board, two sim budgets.
+  // Empty board, three sim budgets (800 = the bench configuration).
   dump_position({}, 100, N);
   dump_position({}, 400, N);
+  dump_position({}, 800, N);
+
+  // 2-ply opening.
+  dump_position({rc(7, 7), rc(8, 8)}, 150, N);
 
   // 6-ply midgame line around the center.
   std::vector<int> mid = {rc(7, 7), rc(7, 8), rc(8, 8),
@@ -99,5 +100,10 @@ int main() {
   // 4-ply line (different stone pattern).
   std::vector<int> line4 = {rc(7, 7), rc(6, 7), rc(7, 8), rc(6, 8)};
   dump_position(line4, 300, N);
+
+  // 8-ply scattered position, deeper budget.
+  std::vector<int> deep = {rc(7, 7), rc(3, 3), rc(7, 8), rc(11, 11),
+                           rc(8, 7), rc(3, 11), rc(6, 8), rc(11, 3)};
+  dump_position(deep, 500, N);
   return 0;
 }
