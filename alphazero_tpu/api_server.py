@@ -222,6 +222,9 @@ def serve(host="127.0.0.1", port=8080, model=None, simulations=200,
 
 
 def main(argv=None):
+    from alphazero_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)

@@ -21,6 +21,9 @@ def timeit(fn, *args, warmup=1, iters=3):
 
 
 def main(argv=None):
+    from alphazero_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--game", default="gomoku",
                    choices=["gomoku", "go", "chess"])

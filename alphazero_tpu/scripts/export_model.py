@@ -52,6 +52,9 @@ def package(bundle_path, zip_path, metadata=None):
 
 
 def main(argv=None):
+    from alphazero_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--step", type=int, default=None)

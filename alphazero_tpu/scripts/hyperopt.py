@@ -71,6 +71,9 @@ def run_trial(args, params) -> float:
 
 
 def main(argv=None):
+    from alphazero_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--game", default="gomoku")
     p.add_argument("--board-size", type=int, default=9)

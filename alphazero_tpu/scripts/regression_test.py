@@ -28,6 +28,9 @@ def check(name, fn, results):
 
 
 def main(argv=None):
+    from alphazero_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--skip-perf", action="store_true")
     p.add_argument("--games", default="gomoku,go,chess")

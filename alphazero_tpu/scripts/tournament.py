@@ -11,6 +11,9 @@ import os
 
 
 def main(argv=None):
+    from alphazero_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--game", default="gomoku",
                    choices=["gomoku", "go", "chess"])

@@ -42,10 +42,17 @@ def build_parser():
     p.add_argument("--use-renju", action="store_true")
     p.add_argument("--use-omok", action="store_true")
     p.add_argument("--komi", type=float, default=7.5)
+    p.add_argument("--games-dir", default=None,
+                   help="train offline from saved GameRecord JSONs in this "
+                        "directory instead of generating self-play games "
+                        "(reference prepare_dataset path, train.py:92)")
     return p
 
 
 def main(argv=None):
+    from alphazero_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
     args = build_parser().parse_args(argv)
@@ -109,7 +116,12 @@ def main(argv=None):
     if args.resume:
         step = pipe.restore_checkpoint()
         logging.info("resumed from checkpoint %s", step)
-    pipe.run()
+    if args.games_dir:
+        n = pipe.ingest_record_files(args.games_dir)
+        logging.info("offline training on %d positions", n)
+        pipe.run_training_only(args.iterations)
+    else:
+        pipe.run()
 
 
 if __name__ == "__main__":

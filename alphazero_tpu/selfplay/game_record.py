@@ -162,3 +162,74 @@ def records_from_selfplay(env, output, max_games: Optional[int] = None,
             rec.set_result(GameResult.DRAW)
         records.append(rec)
     return records
+
+
+def records_to_training_arrays(env, records: List[GameRecord]):
+    """Replay saved GameRecords through the env to regenerate states — the
+    reference ``Dataset::extractExamples`` path
+    (``src/selfplay/dataset.cpp:64-114``: each record is replayed through a
+    fresh state; the value target is the final result from the side to
+    move, :86-97).
+
+    Returns ``(states, policy, z, mask)`` with leading dims [T, G]: the
+    pre-move env-state pytree, full-action-space policy targets, +-1/0
+    value targets, and a validity mask.  Records whose stored policy is not
+    full-action-space (the reference's children-indexed quirk, SURVEY §2.5)
+    fall back to a one-hot of the played action."""
+    import jax
+    import jax.numpy as jnp
+
+    G = len(records)
+    if G == 0:
+        raise ValueError("no records to ingest")
+    lens = [len(r.moves) for r in records]
+    T = max(lens)
+    A = env.num_actions
+
+    actions = np.zeros((T, G), np.int32)
+    policies = np.zeros((T, G, A), np.float32)
+    winner = np.full((G,), -1, np.int32)
+    for g, rec in enumerate(records):
+        if rec.result == GameResult.WIN_PLAYER1:
+            winner[g] = 0
+        elif rec.result == GameResult.WIN_PLAYER2:
+            winner[g] = 1
+        for t, m in enumerate(rec.moves):
+            actions[t, g] = m.action
+            pol = np.asarray(m.policy, np.float32)
+            if pol.shape[0] == A and pol.sum() > 0:
+                policies[t, g] = pol / pol.sum()
+            else:
+                policies[t, g, m.action] = 1.0
+
+    step = jax.jit(jax.vmap(env.step))
+    to_play_fn = jax.jit(jax.vmap(env.to_play))
+    states = jax.vmap(lambda _: env.init())(jnp.arange(G))
+    per_move_states = []
+    to_play = []
+    for t in range(T):
+        per_move_states.append(states)
+        to_play.append(to_play_fn(states))
+        states = step(states, jnp.asarray(actions[t]))
+
+    states_t = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *per_move_states
+    )
+    tp = jnp.stack(to_play)  # [T, G]
+    w = jnp.asarray(winner)[None, :]
+    z = jnp.where(w < 0, 0.0, jnp.where(w == tp, 1.0, -1.0)).astype(
+        jnp.float32
+    )
+    mask = jnp.asarray(
+        np.arange(T)[:, None] < np.asarray(lens)[None, :]
+    )
+    return states_t, jnp.asarray(policies), z, mask
+
+
+def load_records_dir(games_dir: str) -> List[GameRecord]:
+    """Load every ``*.json`` GameRecord in a directory (reference
+    ``GameRecord::loadFromFile`` over a games dir, train.py:246)."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(games_dir, "*.json")))
+    return [GameRecord.load(p) for p in paths]

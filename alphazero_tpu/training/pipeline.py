@@ -202,6 +202,62 @@ class Pipeline:
 
     # ---- public API ------------------------------------------------------
 
+    def ingest_record_files(self, games_dir: str) -> int:
+        """Fill the replay buffer from saved GameRecord JSONs — the
+        reference's records->Dataset training path (train.py:92
+        ``prepare_dataset`` + ``GameRecord.loadFromFile``:246, replayed by
+        dataset.cpp:64-114).  Returns the number of positions ingested."""
+        import jax.numpy as jnp
+
+        from alphazero_tpu.selfplay.game_record import (
+            load_records_dir,
+            records_to_training_arrays,
+        )
+
+        records = load_records_dir(games_dir)
+        if not records:
+            raise ValueError(f"no .json game records in {games_dir}")
+        states, policy, z, mask = records_to_training_arrays(
+            self.env, records
+        )
+        T, G = z.shape
+        flat = lambda x: x.reshape((T * G,) + x.shape[2:])  # noqa: E731
+        flat_states = jax.tree_util.tree_map(flat, states)
+        self.buffer = jax.jit(replay.add)(
+            self.buffer, flat_states, flat(policy), flat(z), flat(mask)
+        )
+        n = int(jnp.sum(mask))
+        log.info("ingested %d positions from %d records in %s",
+                 n, len(records), games_dir)
+        return n
+
+    def run_training_only(self, iterations: int) -> List[Dict]:
+        """Learner-only iterations over the current replay buffer (used
+        with ``ingest_record_files`` for offline training from records)."""
+        out = []
+        for it in range(iterations):
+            t0 = time.perf_counter()
+            self.state, m = self._train(
+                self.state, self.buffer, self._next_rng()
+            )
+            jax.block_until_ready(m.loss)
+            entry = {
+                "iteration": it,
+                "replay_size": int(self.buffer.size),
+                "train_s": round(time.perf_counter() - t0, 2),
+                "loss": float(m.loss),
+                "policy_loss": float(m.policy_loss),
+                "value_loss": float(m.value_loss),
+                "grad_norm": float(m.grad_norm),
+            }
+            self.history.append(entry)
+            log.info("train-only iter %s: %s", it, entry)
+            out.append(entry)
+            if (it + 1) % self.config.checkpoint_every == 0:
+                self.save_checkpoint(it)
+        self.save_history()
+        return out
+
     def run_iteration(self, it: int) -> Dict:
         t0 = time.perf_counter()
         out = self._actor(self.state.params, self._next_rng())

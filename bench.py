@@ -48,9 +48,24 @@ def main():
     params = model.init(
         rng, jnp.zeros((1,) + env.observation_shape, jnp.float32)
     )
-    # BN-folded inference form: the conv trunk absorbs the normalization
-    # (models/resnet.fold_batch_norm) — no norm work on the hot path.
-    eval_fn = make_inference_eval_fn(model, params)
+    if os.environ.get("BENCH_EVAL", "") == "stub":
+        # Engine-only decomposition: uniform evaluator, no NN.
+        from alphazero_tpu.models.stub import make_uniform_eval_fn
+
+        eval_fn = make_uniform_eval_fn(env.num_actions, value_noise=0.1)
+    elif os.environ.get("BENCH_INT8", "1") == "1":
+        # int8 MXU trunk (models/quant.py): conv weights+activations
+        # quantized, ~2x conv throughput on v5e; validated for argmax
+        # agreement / logit correlation in tests/test_quant.py.
+        from alphazero_tpu.models.quant import make_int8_eval_fn
+
+        calib = jax.vmap(env.observation)(
+            jax.vmap(lambda _: env.init())(jnp.arange(8))
+        )
+        eval_fn = make_int8_eval_fn(model, params, calib_obs=calib)
+    else:
+        # BN-folded bf16 inference (models/resnet.fold_batch_norm).
+        eval_fn = make_inference_eval_fn(model, params)
 
     config = SelfPlayConfig(
         mcts=MCTSConfig(num_simulations=sims), max_moves=moves

@@ -1,0 +1,69 @@
+"""int8 inference trunk tests (models/quant.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_tpu.models.quant import (
+    extract_folded,
+    forward_bf16,
+    make_int8_eval_fn,
+)
+from alphazero_tpu.models.resnet import AZResNet, ResNetConfig, fold_batch_norm
+from alphazero_tpu.training.learner import (
+    LearnerConfig,
+    create_train_state,
+    train_step,
+)
+from alphazero_tpu.training.replay import Batch
+
+
+def trained_model(steps=5):
+    cfg = ResNetConfig(num_blocks=2, channels=32)
+    model = AZResNet(num_actions=49, cfg=cfg)
+    lcfg = LearnerConfig()
+    st, tx = create_train_state(model, jax.random.key(0), (3, 7, 7), lcfg)
+    rng = jax.random.key(1)
+    for _ in range(steps):
+        rng, sub = jax.random.split(rng)
+        obs = jax.random.uniform(sub, (16, 3, 7, 7))
+        pol = jax.nn.softmax(jax.random.normal(sub, (16, 49)))
+        batch = Batch(obs=obs, policy=pol,
+                      value=jnp.sin(jnp.arange(16.0)))
+        st, _ = train_step(st, batch, model, tx, lcfg)
+    return model, st.params
+
+
+class TestQuant:
+    def test_bf16_executor_matches_flax_exactly(self):
+        model, params = trained_model()
+        obs = jax.random.uniform(jax.random.key(9), (8, 3, 7, 7))
+        fm, fv = fold_batch_norm(model, params)
+        l_flax, v_flax = fm.apply(fv, obs)
+        fp = extract_folded(model, params)
+        l_ref, v_ref = forward_bf16(fp, obs)
+        np.testing.assert_array_equal(np.asarray(l_flax), np.asarray(l_ref))
+        np.testing.assert_array_equal(np.asarray(v_flax), np.asarray(v_ref))
+
+    def test_int8_matches_bf16_closely(self):
+        model, params = trained_model()
+        obs = jax.random.uniform(jax.random.key(9), (32, 3, 7, 7))
+        fm, fv = fold_batch_norm(model, params)
+        l_f, v_f = fm.apply(fv, obs)
+        ev = make_int8_eval_fn(model, params, calib_obs=obs)
+        l_q, v_q = ev(obs)
+        agree = float(
+            (jnp.argmax(l_q, -1) == jnp.argmax(l_f, -1)).mean()
+        )
+        corr = float(np.corrcoef(np.asarray(l_q).ravel(),
+                                 np.asarray(l_f).ravel())[0, 1])
+        assert agree >= 0.9
+        assert corr >= 0.99
+        assert float(jnp.abs(v_q - v_f).mean()) < 0.02
+
+    def test_int8_eval_fn_shapes_and_default_calibration(self):
+        model, params = trained_model(steps=1)
+        ev = make_int8_eval_fn(model, params)  # zero-obs calibration
+        logits, value = ev(jnp.zeros((4, 3, 7, 7)))
+        assert logits.shape == (4, 49)
+        assert value.shape == (4,)
+        assert np.isfinite(np.asarray(logits)).all()
