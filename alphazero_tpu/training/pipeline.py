@@ -119,11 +119,22 @@ class Pipeline:
                 env, eval_params, cfg.selfplay, cfg.games_per_iteration,
                 with_params=True, record_states=True,
             )
+            # Shard the game batch over the mesh data axis: with sharded
+            # inputs GSPMD propagates the sharding through every jitted
+            # move step, so self-play runs on ALL devices (round-1 gap:
+            # the actor silently ran on device 0 only).
+            self._host_init = meshlib.shard_batch(self.mesh, self._host_init)
             self._all_done = jax.jit(
                 lambda st: jax.vmap(env.terminal_flag)(st).all()
             )
             self._actor = self._run_host_actor
         else:
+            from alphazero_tpu.selfplay.actor import _batched_init
+
+            init_states = meshlib.shard_batch(
+                self.mesh, _batched_init(env, cfg.games_per_iteration)
+            )
+
             def actor_fn(params, rng):
                 def eval_fn(obs, to_play=None):
                     return model.apply(params, obs)
@@ -131,6 +142,7 @@ class Pipeline:
                 return play_games(
                     env, eval_fn, rng, cfg.selfplay,
                     batch_size=cfg.games_per_iteration, record_states=True,
+                    initial_states=init_states,
                 )
 
             self._actor = jax.jit(actor_fn)
@@ -223,8 +235,30 @@ class Pipeline:
         T, G = z.shape
         flat = lambda x: x.reshape((T * G,) + x.shape[2:])  # noqa: E731
         flat_states = jax.tree_util.tree_map(flat, states)
+        flat_policy, flat_z, flat_mask = flat(policy), flat(z), flat(mask)
+        if jax.process_count() > 1:
+            # Multi-host: each host ingested its own record shard; assemble
+            # global data-sharded arrays (the device-array replacement for
+            # orchestrate_selfplay's filesystem merge, SURVEY §2.8).
+            from jax.sharding import PartitionSpec as P
+
+            from alphazero_tpu.parallel.distributed import make_global_array
+
+            spec = P(meshlib.DATA_AXIS)
+            ga = lambda x: make_global_array(  # noqa: E731
+                np.asarray(x), self.mesh, spec
+            )
+            flat_states = jax.tree_util.tree_map(ga, flat_states)
+            flat_policy, flat_z, flat_mask = (
+                ga(flat_policy), ga(flat_z), ga(flat_mask)
+            )
+        elif (T * G) % self.mesh.shape[meshlib.DATA_AXIS] == 0:
+            flat_states = meshlib.shard_batch(self.mesh, flat_states)
+            flat_policy = meshlib.shard_batch(self.mesh, flat_policy)
+            flat_z = meshlib.shard_batch(self.mesh, flat_z)
+            flat_mask = meshlib.shard_batch(self.mesh, flat_mask)
         self.buffer = jax.jit(replay.add)(
-            self.buffer, flat_states, flat(policy), flat(z), flat(mask)
+            self.buffer, flat_states, flat_policy, flat_z, flat_mask
         )
         n = int(jnp.sum(mask))
         log.info("ingested %d positions from %d records in %s",

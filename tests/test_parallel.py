@@ -76,11 +76,18 @@ class TestShardedTraining:
         assert leaf.sharding.is_fully_replicated
 
     def test_sharded_equals_single_device(self):
-        """Data-parallel gradient must equal the unsharded gradient."""
+        """Data-parallel gradient must equal the unsharded gradient.
+
+        Uses a GroupNorm model: its reductions are per-sample, so the
+        sharded math is bit-reproducible.  BatchNorm's cross-batch
+        statistics change float reduction ORDER under sharding — tiny grad
+        deltas that Adam amplifies to sign-flipped +-lr steps; the BN case
+        is covered (loosely) by test_batchnorm_sharded_stats below."""
         mesh = meshlib.make_mesh()
         env = GomokuEnv(board_size=7)
         model = AZResNet(num_actions=env.num_actions,
-                         cfg=ResNetConfig(num_blocks=1, channels=16))
+                         cfg=ResNetConfig(num_blocks=1, channels=16,
+                                          norm="group"))
         cfg = LearnerConfig(scheduler="constant", total_steps=10,
                             grad_clip_norm=0.0)
         state, tx = create_train_state(
@@ -144,3 +151,79 @@ class TestShardedActor:
         acts = np.asarray(rec.action)
         for b in range(B):
             assert bool(legal[b, acts[b]])
+
+
+class TestShardedPipeline:
+    """The PRODUCTION pipeline must shard its actor over the mesh (round-1
+    gap: manual sharding was proven but Pipeline ran self-play on one
+    device)."""
+
+    def test_pipeline_actor_states_sharded(self):
+        from alphazero_tpu.training.pipeline import Pipeline, PipelineConfig
+
+        mesh = meshlib.make_mesh()
+        n = mesh.shape[meshlib.DATA_AXIS]
+        cfg = PipelineConfig(
+            game="gomoku", board_size=7,
+            model=ResNetConfig(num_blocks=1, channels=16),
+            selfplay=SelfPlayConfig(
+                mcts=MCTSConfig(num_simulations=4), max_moves=4
+            ),
+            iterations=1, games_per_iteration=2 * n,
+            train_steps_per_iteration=1, train_batch_size=8,
+            replay_capacity=128, min_replay_before_training=1,
+            checkpoint_every=10**9,
+        )
+        pipe = Pipeline(cfg, mesh=mesh)
+        leaf = jax.tree_util.tree_leaves(pipe._host_init)[0]
+        assert len(leaf.sharding.device_set) == n
+
+        entry = pipe.run_iteration(0)
+        assert entry["moves"] > 0
+        assert "loss" in entry
+        # Replay content landed (sharded ingest path).
+        assert int(pipe.buffer.size) > 0
+
+
+class TestBatchNormSharded:
+    def test_batchnorm_sharded_stats(self):
+        """BN batch statistics under a data-sharded batch must match the
+        unsharded computation closely (GSPMD all-reduces the moments;
+        only float reduction order differs)."""
+        mesh = meshlib.make_mesh()
+        env = GomokuEnv(board_size=7)
+        model = AZResNet(num_actions=env.num_actions,
+                         cfg=ResNetConfig(num_blocks=1, channels=16))
+        cfg = LearnerConfig(scheduler="constant", total_steps=10,
+                            grad_clip_norm=0.0)
+        state, tx = create_train_state(
+            model, jax.random.key(0), env.observation_shape, cfg
+        )
+        B = 16
+        rngs = jax.random.split(jax.random.key(5), 3)
+        batch = replay.Batch(
+            obs=jax.random.normal(rngs[0], (B,) + env.observation_shape),
+            policy=jax.nn.softmax(
+                jax.random.normal(rngs[1], (B, env.num_actions)), -1
+            ),
+            value=jnp.tanh(jax.random.normal(rngs[2], (B,))),
+        )
+        s1, m1 = jax.jit(
+            lambda s, b: train_step(s, b, model, tx, cfg)
+        )(state, batch)
+        repl = meshlib.replicated(mesh)
+        dsh = meshlib.data_sharding(mesh)
+        s2, m2 = jax.jit(
+            lambda s, b: train_step(s, b, model, tx, cfg),
+            out_shardings=(repl, repl),
+        )(jax.device_put(state, repl),
+          jax.tree_util.tree_map(lambda x: jax.device_put(x, dsh), batch))
+        np.testing.assert_allclose(float(m1.loss), float(m2.loss),
+                                   rtol=1e-4)
+        # Running stats (pure batch moments) agree tightly.
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params["batch_stats"]),
+            jax.tree_util.tree_leaves(s2.params["batch_stats"]),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
