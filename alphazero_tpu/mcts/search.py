@@ -48,9 +48,21 @@ EvalFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
 UNVISITED = jnp.int32(-1)
 ROOT = jnp.int32(0)
 
-# Child pointers are stored as f16 (exact integers to 2048), which bounds
-# the arena to ~2046 nodes — far above typical 800-simulation searches.
+# Child pointers are stored as f16 (exact integers to 2048) for arenas up
+# to 2046 nodes — the bench regime, where the descent sweeps only half the
+# bytes.  Larger arenas automatically switch to f32 pointers (exact to
+# 2^24), whose sweeps must run at Precision.HIGHEST (a single-pass bf16
+# matmul is only exact to 256).
 _MAX_F16_NODES = 2046
+
+
+def _cchild_dtype(num_nodes: int):
+    if num_nodes > (1 << 24):
+        raise ValueError(
+            f"arena of {num_nodes} nodes exceeds the f32-exact "
+            "child-pointer range (2^24)"
+        )
+    return jnp.float16 if num_nodes <= _MAX_F16_NODES else jnp.float32
 
 
 def _pack_state(state, env=None):
@@ -235,23 +247,31 @@ def _onehot(idx: jax.Array, n: int, dtype=jnp.bfloat16) -> jax.Array:
     ).astype(dtype)
 
 
-def _row_gather(arr3: jax.Array, onehot_b16: jax.Array) -> jax.Array:
+def _row_gather(arr3: jax.Array, onehot_b16: jax.Array,
+                precision=None) -> jax.Array:
     """arr3[b, idx_b, :] for all b via one-hot contraction:
-    [B, N] x [B, N, K] -> [B, K]."""
+    [B, N] x [B, N, K] -> [B, K].  Pass ``precision=HIGHEST`` when the
+    values are f32 integers > 256 (e.g. wide child pointers): the default
+    TPU f32 matmul is a single bf16 pass."""
     if arr3.dtype in (jnp.bfloat16, jnp.float16, jnp.float32):
         return jnp.einsum(
             "bn,bnk->bk", onehot_b16, arr3,
             preferred_element_type=jnp.float32,
+            precision=precision,
         )
     oh = onehot_b16.astype(arr3.dtype)
     return jnp.sum(oh[:, :, None] * arr3, axis=1)
 
 
-def _vec_gather(arr2: jax.Array, onehot_b16: jax.Array) -> jax.Array:
-    """arr2[b, idx_b] via one-hot: [B, N] x [B, N] -> [B]."""
+def _vec_gather(arr2: jax.Array, onehot_b16: jax.Array,
+                precision=None) -> jax.Array:
+    """arr2[b, idx_b] via one-hot: [B, N] x [B, N] -> [B].  Use
+    ``precision=HIGHEST`` for f32 integer payloads > 256 (see
+    _row_gather)."""
     if arr2.dtype in (jnp.bfloat16, jnp.float32):
         return jnp.einsum("bn,bn->b", onehot_b16, arr2,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
     return jnp.sum(onehot_b16.astype(arr2.dtype) * arr2, axis=1)
 
 
@@ -313,12 +333,7 @@ def instantiate_tree(
         ) * noise
         prior = jnp.where(legal, prior, 0.0)
 
-    if max(N, config.num_nodes) > _MAX_F16_NODES:
-        raise ValueError(
-            f"arena of {max(N, config.num_nodes)} nodes exceeds the "
-            "f16-exact child-pointer range; use <= ~2045 simulations or "
-            "widen the pointer dtype"
-        )
+    cdt = _cchild_dtype(max(N, config.num_nodes))
 
     def tile(x):  # [B, ...] -> [B, N, ...] (root in slot 0)
         # Materialized zeros + row write — NOT broadcast_to: a broadcast
@@ -348,7 +363,7 @@ def instantiate_tree(
         paction=jnp.full((B, N), -1, jnp.int32),
         pslot=jnp.full((B, N), -1, jnp.int32),
         prior=jnp.zeros((B, N, K), jnp.bfloat16),
-        cchild=jnp.full((B, N, K), -2.0, jnp.float16),
+        cchild=jnp.full((B, N, K), -2.0, cdt),
         caction=jnp.full((B, N, K), -1.0, jnp.float32),
         states=states,
     )
@@ -437,8 +452,12 @@ def _select(tree: Tree, config: MCTSConfig) -> _SelectResult:
 
         prior_row = _row_gather(tree.prior, oh)  # f32 [B, K]
         child_row = jnp.round(
-            _row_gather(tree.cchild, oh)
-        ).astype(jnp.int32)  # f16 sweep; integers <= 2048 exact
+            _row_gather(
+                tree.cchild, oh,
+                precision=(jax.lax.Precision.HIGHEST
+                           if tree.cchild.dtype == jnp.float32 else None),
+            )
+        ).astype(jnp.int32)  # f16 sweep exact to 2048; f32 wide mode HIGHEST
         # Child stats of every slot via [B, K, N] one-hot contraction.
         cidx = jnp.maximum(child_row, 0)
         oh_children = (
@@ -486,7 +505,9 @@ def _select(tree: Tree, config: MCTSConfig) -> _SelectResult:
     out = jax.lax.while_loop(cond, body, init)
     # The expansion edge's env action: gathered once from caction (kept out
     # of the descent loop so only prior+cchild sweep per iteration).
-    act_row = _row_gather(tree.caction, out.oh_node)  # f32 [B, K]
+    # HIGHEST: action values reach 4672 (chess) — beyond bf16-exact range.
+    act_row = _row_gather(tree.caction, out.oh_node,
+                          precision=jax.lax.Precision.HIGHEST)  # f32 [B, K]
     k_oh = out.slot[:, None] == jnp.arange(K, dtype=jnp.int32)[None, :]
     slot_action = jnp.round(
         jnp.sum(jnp.where(k_oh, act_row, 0.0), axis=-1)
@@ -573,7 +594,8 @@ def _backprop_td(start: jax.Array, leaf_val: jax.Array,
         )[:, None] * ohf
 
         par = jnp.round(
-            _vec_gather(parent.astype(jnp.float32), c.oh)
+            _vec_gather(parent.astype(jnp.float32), c.oh,
+                        precision=jax.lax.Precision.HIGHEST)
         ).astype(jnp.int32)
         at_depth1 = c.active & (par == 0)
 
@@ -647,7 +669,7 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
     prior_arr = _write_row(tree.prior, new, topv, expand)
     cchild = _write_row(
         tree.cchild, new,
-        jnp.where(topv > 0, -1.0, -2.0).astype(jnp.float16), expand,
+        jnp.where(topv > 0, -1.0, -2.0).astype(tree.cchild.dtype), expand,
     )
     caction = _write_row(
         tree.caction, new,
@@ -679,7 +701,7 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
         & oh_leaf_bool[:, :, None]
         & oh_slot[:, None, :]
     )
-    cchild = jnp.where(link, new.astype(jnp.float16), cchild)
+    cchild = jnp.where(link, new.astype(cchild.dtype), cchild)
 
     # --- backprop via the accumulated path masks ---
     leaf_tval = _vec_gather(tree.tvalue, sel.leaf_onehot)
@@ -952,7 +974,7 @@ def reroot(
         cchild_p >= 0,
         jnp.where(recon > 0, recon, -1.0),
         jnp.where(cchild_p > -1.5, -1.0, -2.0),  # keep -1/-2 structure
-    ).astype(jnp.float16)
+    ).astype(tree.cchild.dtype)
 
     # --- dense root arrays from the depth-1 survivors ---
     is_d1 = parent_p == 0

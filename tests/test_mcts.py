@@ -283,3 +283,33 @@ class TestTDLambda:
         assert not np.array_equal(
             np.asarray(out.tree.value_sum), np.asarray(out0.tree.value_sum)
         )
+
+
+class TestWidePointerMode:
+    """Arenas beyond the f16-exact 2046-node range switch to f32 child
+    pointers automatically (round-1 cap lifted; VERDICT #10)."""
+
+    def test_4096_sims_wide_mode(self):
+        cfg = MCTSConfig(num_simulations=4096, dirichlet_epsilon=0.0)
+        env = GomokuEnv(board_size=7)
+        eval_fn = make_uniform_eval_fn(env.num_actions)
+        states = batch_init(env, 2)
+        out = jax.jit(
+            lambda s, r: search(env, eval_fn, s, r, cfg)
+        )(states, jax.random.key(0))
+        assert out.tree.cchild.dtype == jnp.float32
+        counts = np.asarray(out.visit_counts)
+        assert (counts.sum(-1) == 4096).all()
+        # Deep pointers resolve: some node beyond the f16 range was linked.
+        cc = np.asarray(out.tree.cchild, np.float32)
+        assert cc.max() > 2046
+
+    def test_small_arena_keeps_f16(self):
+        cfg = MCTSConfig(num_simulations=64)
+        env = GomokuEnv(board_size=7)
+        eval_fn = make_uniform_eval_fn(env.num_actions)
+        states = batch_init(env, 2)
+        out = jax.jit(
+            lambda s, r: search(env, eval_fn, s, r, cfg)
+        )(states, jax.random.key(0))
+        assert out.tree.cchild.dtype == jnp.float16
