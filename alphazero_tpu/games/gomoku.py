@@ -328,10 +328,21 @@ class GomokuEnv:
         4 blacks + 1 empty (i.e. one more move makes five).  The two windows
         of a straight four merge into one four (Renju counting)."""
         counts = []
+        ones = jnp.ones_like(black)
         for dr, dc in _DIRS:
             b5 = _window_sum(black, dr, dc, 5)
             w5 = _window_sum(white, dr, dc, 5)
-            four_window = (b5 == 3) & (w5 == 0)
+            # Only fully in-bounds windows: a 5-window hanging off the edge
+            # can never complete to five (round-2 fuzz-found bug — an
+            # edge-truncated window with 3 blacks was counted as a four).
+            in5 = _window_sum(ones, dr, dc, 5) == 5
+            # Renju four = can make EXACTLY five: a black stone adjacent to
+            # either window end would make the completion an overline (six),
+            # which is not a five for black (second round-2 fuzz find).
+            b_before = _shift_plane(black, -dr, -dc)
+            b_after = _shift_plane(black, 5 * dr, 5 * dc)
+            four_window = ((b5 == 3) & (w5 == 0) & in5
+                           & ~b_before & ~b_after)
             cnt = jnp.zeros(black.shape, jnp.int32)
             for i in range(5):
                 cnt = cnt + _shift_plane(

@@ -424,3 +424,28 @@ class TestSAN:
         s2 = state_from_fen(ENV, "7k/P7/8/8/8/8/8/7K w - - 0 1")
         a = san_to_action(ENV, s2, "a8=N")
         assert action_to_san(ENV, s2, a) == "a8=N"
+
+
+class TestPerftDeep:
+    """Deep perft — the depths where classic movegen bugs (ep-pin corners,
+    castle-through-check, promotion-capture) first diverge (VERDICT #7).
+    Heavier than the shallow suite but CI-budget-viable vectorized."""
+
+    def test_startpos_d4(self):
+        assert perft(ENV, ENV.init(), 4) == 197_281
+
+    def test_kiwipete_d3(self):
+        s = state_from_fen(ENV, KIWIPETE)
+        assert perft(ENV, s, 3) == 97_862
+
+    def test_pos5_d3(self):
+        s = state_from_fen(ENV, POS5)
+        assert perft(ENV, s, 3) == 62_379
+
+    def test_pos3_d4(self):
+        s = state_from_fen(ENV, POS3)
+        assert perft(ENV, s, 4) == 43_238
+
+    def test_pos4_d3(self):
+        s = state_from_fen(ENV, POS4)
+        assert perft(ENV, s, 3) == 9_467
