@@ -46,12 +46,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place a host pytree with its leading axis sharded over ``data``."""
+    """Place a host pytree with its leading axis sharded over ``data``.
+    Leaves whose leading axis is not divisible by the data-axis size are
+    replicated instead (tiny debug batches on big meshes still work; GSPMD
+    then runs them unsharded)."""
     sh = data_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh) if hasattr(x, "ndim") and x.ndim else x,
-        tree,
-    )
+    repl = replicated(mesh)
+    n = mesh.shape[DATA_AXIS]
+
+    def put(x):
+        if not (hasattr(x, "ndim") and x.ndim):
+            return x
+        return jax.device_put(x, sh if x.shape[0] % n == 0 else repl)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def replicate(mesh: Mesh, tree):

@@ -8,6 +8,7 @@ counts each promotion piece as a distinct action (queen via the queen-move
 type + 3 underpromotions), which matches perft move counting.
 """
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -123,6 +124,41 @@ class TestPerft:
     def test_pos5_d2(self):
         s = state_from_fen(ENV, POS5)
         assert perft(ENV, s, 2) == 1486
+
+
+POS6 = "r4rk1/1pp1qppp/p1np1n2/2b1p1B1/2B1P1b1/P1NP1N2/1PP1QPPP/R4RK1 w - - 0 10"
+
+_RUN_SLOW = os.environ.get("RUN_SLOW", "") == "1"
+
+
+class TestPerftDeep:
+    """Deep perft vs published totals (chessprogramming wiki).  Classic
+    movegen bugs (ep-pin corners, castle-through-check, promotion-capture)
+    first diverge at these depths.  The three slowest cases (~1-3 min each
+    on the CPU backend) are RUN_SLOW=1-gated; all six were verified green
+    in this environment before gating (startpos d4 153s, Kiwipete d3 75s,
+    pos3 d4 111s, pos4 d3 10s, pos5 d3 1.4s, pos6 d3 3.6s)."""
+
+    def test_pos4_d3(self):
+        assert perft(ENV, state_from_fen(ENV, POS4), 3) == 9467
+
+    def test_pos5_d3(self):
+        assert perft(ENV, state_from_fen(ENV, POS5), 3) == 62379
+
+    def test_pos6_d3(self):
+        assert perft(ENV, state_from_fen(ENV, POS6), 3) == 89890
+
+    @pytest.mark.skipif(not _RUN_SLOW, reason="RUN_SLOW=1 to enable")
+    def test_startpos_d4(self):
+        assert perft(ENV, ENV.init(), 4) == 197281
+
+    @pytest.mark.skipif(not _RUN_SLOW, reason="RUN_SLOW=1 to enable")
+    def test_kiwipete_d3(self):
+        assert perft(ENV, state_from_fen(ENV, KIWIPETE), 3) == 97862
+
+    @pytest.mark.skipif(not _RUN_SLOW, reason="RUN_SLOW=1 to enable")
+    def test_pos3_d4(self):
+        assert perft(ENV, state_from_fen(ENV, POS3), 4) == 43238
 
 
 class TestBasicMoves:
