@@ -164,12 +164,27 @@ class MCTSConfig:
     # Re-noise cadence for the reused root (reference re-injects Dirichlet
     # every 2 moves on the kept tree, self_play_manager.cpp:209-211).
     renoise_every: int = 2
+    # Simulation waves: W virtual-loss PUCT descents per dispatched step,
+    # then ONE batched eval/install/backprop over the W leaves — the
+    # reference's BATCHED self-play mode (self_play_manager.cpp:166-175
+    # forces it; virtual loss de-correlates the in-flight descents,
+    # parallel_mcts.cpp:461-535).  On TPU this amortizes the per-op
+    # dispatch overhead that dominates engine cost (BENCHLOG round 2:
+    # install/bookkeeping ops, not the descent sweeps, are the bottleneck).
+    # wave_size=1 is the exact-sequential path (used by parity tests).
+    wave_size: int = 1
+    virtual_loss: float = 3.0  # reference MCTSConfig::virtualLoss default
+
+    @property
+    def waves(self) -> int:
+        return -(-self.num_simulations // self.wave_size)
 
     @property
     def num_nodes(self) -> int:
+        slots = self.waves * self.wave_size
         if self.tree_reuse:
-            return self.reuse_cap + self.num_simulations
-        return self.num_simulations + 1
+            return self.reuse_cap + slots
+        return slots + 1
 
 
 @struct.dataclass
@@ -394,22 +409,42 @@ class _Carry(NamedTuple):
     depth: jax.Array
 
 
-def _select(tree: Tree, config: MCTSConfig) -> _SelectResult:
+def _select(tree: Tree, config: MCTSConfig,
+            vloss_nodes: jax.Array | None = None,
+            vloss_root: jax.Array | None = None) -> _SelectResult:
     """Lockstep PUCT descent: iteration 0 on the dense root arrays;
-    deeper iterations via one-hot sweeps over the top-K slot arrays."""
+    deeper iterations via one-hot sweeps over the top-K slot arrays.
+
+    ``vloss_nodes`` (f32 [B, N] per-node counts) / ``vloss_root`` (f32
+    [B, A] per-root-edge counts) carry virtual losses from in-flight wave
+    descents (reference addVirtualLoss, parallel_mcts.cpp:461-535): each
+    count adds ``config.virtual_loss`` pessimistic visits — visits and
+    child-perspective value sums both increase, so the parent-view Q of a
+    touched edge drops."""
     B = tree.batch_size
     N = tree.capacity
     K = tree.prior.shape[-1]
 
+    visits_f = tree.visits.astype(jnp.float32)
+    vsum_f = tree.value_sum
+    ev_f = tree.root_evisits.astype(jnp.float32)
+    ew_f = tree.root_evalue
+    if vloss_nodes is not None:
+        vl = jnp.float32(config.virtual_loss)
+        visits_f = visits_f + vl * vloss_nodes
+        vsum_f = vsum_f + vl * vloss_nodes
+        ev_f = ev_f + vl * vloss_root
+        ew_f = ew_f + vl * vloss_root
+
     # --- root step (dense, elementwise) ---
     root_term = tree.terminal[:, 0]
-    nv0 = tree.visits[:, 0]
-    nval0 = tree.value_sum[:, 0] / jnp.maximum(nv0, 1)
+    nv0 = visits_f[:, 0]
+    nval0 = vsum_f[:, 0] / jnp.maximum(nv0, 1)
     if config.parity_mode:
         # Reference root visit inflation: see MCTSConfig.parity_mode.
         nv0 = 4 * (nv0 - 1) + 3
     scores = _puct(
-        tree.root_prior, tree.root_evisits, tree.root_evalue,
+        tree.root_prior, ev_f, ew_f,
         nv0, nval0, config,
     )
     root_action = jnp.argmax(scores, axis=-1).astype(jnp.int32)
@@ -437,9 +472,7 @@ def _select(tree: Tree, config: MCTSConfig) -> _SelectResult:
         depth=jnp.ones((), jnp.int32),
     )
 
-    stats = jnp.stack(
-        [tree.visits.astype(jnp.float32), tree.value_sum], axis=-1
-    )  # f32 [B, N, 2]
+    stats = jnp.stack([visits_f, vsum_f], axis=-1)  # f32 [B, N, 2]
     krange = jnp.arange(K, dtype=jnp.int32)
 
     def cond(c: _Carry):
@@ -471,8 +504,8 @@ def _select(tree: Tree, config: MCTSConfig) -> _SelectResult:
         cv = jnp.where(has_child, cstats[..., 0], 0.0)
         cw = jnp.where(has_child, cstats[..., 1], 0.0)
 
-        nv = _vec_gather(tree.visits.astype(jnp.float32), oh)
-        nw = _vec_gather(tree.value_sum, oh)
+        nv = _vec_gather(visits_f, oh)
+        nw = _vec_gather(vsum_f, oh)
         node_value = nw / jnp.maximum(nv, 1.0)
 
         sc = _puct(prior_row, cv, cw, nv, node_value, config)
@@ -778,6 +811,238 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
     )
 
 
+def _write_rows(arr, start: jax.Array, values: jax.Array, keep: jax.Array):
+    """arr[:, start:start+W] = where(keep, values, old) with scalar
+    ``start`` (one dynamic-slice read-modify-write — the W-row block analog
+    of _write_row)."""
+    W = values.shape[1]
+    old = jax.lax.dynamic_slice_in_dim(arr, start, W, 1)
+    kb = keep.reshape(keep.shape + (1,) * (values.ndim - 2))
+    merged = jnp.where(kb, values.astype(arr.dtype), old)
+    return jax.lax.dynamic_update_slice_in_dim(arr, merged, start, 1)
+
+
+def _simulate_wave(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
+                   config: MCTSConfig) -> Tree:
+    """One wave of ``W = config.wave_size`` simulations per lane: W PUCT
+    descents with accumulating virtual loss, then ONE batched env-step +
+    NN eval over the B*W leaves, a W-row block install at arena slots
+    [slot, slot+W), combined child links and a combined backprop.
+
+    This is the TPU rendition of the reference's BATCHED search mode
+    (self_play_manager.cpp:166-175 + BatchQueue): in-flight simulations
+    are de-correlated by virtual loss and their leaf evaluations share one
+    NN batch.  Two walkers reaching the same unexpanded edge are merged
+    exactly (the child state and its evaluation are identical, so the
+    duplicate's visit/value land on the first walker's node — the arena
+    analog of the reference's expansion-mutex dedupe).
+
+    Engine rationale (BENCHLOG round 2): per-sim engine cost is dominated
+    by fixed per-op dispatch overhead (installs/bookkeeping), not by the
+    descent sweeps — batching W sims per dispatched program divides that
+    overhead by W."""
+    B = tree.batch_size
+    N = tree.capacity
+    K = tree.prior.shape[-1]
+    A = tree.num_actions
+    W = config.wave_size
+    if config.td_lambda is not None or config.parity_mode:
+        raise ValueError("wave_size > 1 is incompatible with td_lambda / "
+                         "parity_mode (use the sequential path)")
+    proto = env.init()
+    base = jnp.asarray(slot, jnp.int32)
+
+    # --- W virtual-loss descents ---
+    vn = jnp.zeros((B, N), jnp.float32)
+    vr = jnp.zeros((B, A), jnp.float32)
+    sels = []
+    for w in range(W):
+        sel = _select(tree, config, vn, vr)
+        vn = vn + sel.mask_even + sel.mask_odd
+        vr = vr + _onehot(sel.root_action, A, jnp.float32)
+        sels.append(sel)
+
+    leafs = jnp.stack([s.leaf for s in sels], 1)            # i32 [B, W]
+    actions = jnp.stack([s.action for s in sels], 1)        # i32 [B, W]
+    expand0 = jnp.stack([~s.leaf_terminal for s in sels], 1)  # [B, W]
+    oh_leaves = jnp.stack([s.leaf_onehot for s in sels], 1)  # bf16 [B, W, N]
+    lengths = jnp.stack([s.length for s in sels], 1)        # i32 [B, W]
+    slots_k = jnp.stack([s.slot for s in sels], 1)          # i32 [B, W]
+    from_root = slots_k < 0
+
+    # --- merge duplicate expansions (same leaf, same edge) ---
+    wrange = jnp.arange(W, dtype=jnp.int32)
+    first = []
+    for w in range(W):
+        f = jnp.full((B,), w, jnp.int32)
+        for w2 in range(w - 1, -1, -1):
+            same = (
+                (leafs[:, w] == leafs[:, w2])
+                & (actions[:, w] == actions[:, w2])
+                & expand0[:, w] & expand0[:, w2]
+            )
+            f = jnp.where(same, w2, f)
+        first.append(f)
+    first = jnp.stack(first, 1)  # i32 [B, W]
+    expand = expand0 & (first == wrange[None, :])  # canonical walkers only
+
+    # --- batched leaf pipeline over B*W ---
+    leaf_packed = jax.tree_util.tree_map(
+        lambda x: jnp.einsum(
+            "bwn,bnx->bwx",
+            oh_leaves.astype(x.dtype)
+            if x.dtype == jnp.bfloat16 else oh_leaves,
+            x.reshape(B, N, -1),
+            preferred_element_type=jnp.float32,
+        ).reshape((B * W,) + x.shape[2:]).astype(x.dtype),
+        tree.states,
+    )
+    leaf_state = _unpack_state(leaf_packed, proto, env)
+    child_state = jax.vmap(env.step)(leaf_state, actions.reshape(-1))
+    obs = jax.vmap(env.observation)(child_state)
+    child_to_play = jax.vmap(env.to_play)(child_state)
+    logits, value = eval_fn(obs, child_to_play)
+    legal = jax.vmap(env.legal_mask)(child_state)
+    full_prior = masked_softmax(logits, legal)
+    topv, topa = jax.lax.approx_max_k(full_prior, K)
+    topa = topa.astype(jnp.int32)
+    child_term = jax.vmap(env.terminal_flag)(child_state)
+    child_winner = jax.vmap(env.winner)(child_state)
+    child_tval = terminal_value(child_winner, child_to_play)
+
+    def bw(x):  # [B*W, ...] -> [B, W, ...]
+        return x.reshape((B, W) + x.shape[1:])
+
+    topv_w, topa_w = bw(topv), bw(topa)
+    cterm_w, ctval_w = bw(child_term), bw(child_tval)
+    value_w = bw(value)
+
+    # --- install W rows (one block write per arena array) ---
+    states = jax.tree_util.tree_map(
+        lambda arr, val: _write_rows(
+            arr, base, val.reshape((B, W) + arr.shape[2:]), expand
+        ),
+        tree.states, _pack_state(child_state, env),
+    )
+    prior_arr = _write_rows(tree.prior, base, topv_w, expand)
+    cchild = _write_rows(
+        tree.cchild, base,
+        jnp.where(topv_w > 0, -1.0, -2.0).astype(tree.cchild.dtype), expand,
+    )
+    caction = _write_rows(
+        tree.caction, base,
+        jnp.where(topv_w > 0, topa_w, -1).astype(jnp.float32), expand,
+    )
+    parent = _write_rows(tree.parent, base,
+                         jnp.where(expand, leafs, -1), expand)
+    terminal = _write_rows(tree.terminal, base, cterm_w, expand)
+    tvalue = _write_rows(tree.tvalue, base, ctval_w, expand)
+    depth = _write_rows(tree.depth, base, lengths + 1, expand)
+    paction = _write_rows(tree.paction, base,
+                          jnp.where(expand, actions, -1), expand)
+    pslot = _write_rows(tree.pslot, base,
+                        jnp.where(expand, slots_k, -1), expand)
+
+    # --- links (combined single passes) ---
+    root_child = tree.root_child
+    for w in range(W):
+        m = (expand[:, w] & from_root[:, w])[:, None] & _onehot(
+            sels[w].root_action, A, jnp.bool_
+        )
+        root_child = jnp.where(m, base + w, root_child)
+
+    link_any = jnp.zeros((B, N, K), jnp.bool_)
+    link_val = jnp.zeros((B, N, K), jnp.float32)
+    for w in range(W):
+        oh_slot = (
+            jnp.maximum(slots_k[:, w], 0)[:, None]
+            == jnp.arange(K, dtype=jnp.int32)[None, :]
+        )
+        lm = (
+            (expand[:, w] & ~from_root[:, w])[:, None, None]
+            & (sels[w].leaf_onehot > 0)[:, :, None]
+            & oh_slot[:, None, :]
+        )
+        link_any = link_any | lm
+        link_val = jnp.where(lm, (base + w).astype(jnp.float32), link_val)
+    cchild = jnp.where(link_any, link_val.astype(cchild.dtype), cchild)
+
+    # --- combined backprop ---
+    leaf_tval = jnp.einsum(
+        "bwn,bn->bw", oh_leaves, tree.tvalue,
+        preferred_element_type=jnp.float32,
+    )
+    leaf_term = ~expand0
+    leaf_val = jnp.where(
+        leaf_term, leaf_tval, jnp.where(cterm_w, ctval_w, value_w)
+    )  # f32 [B, W]
+
+    L = lengths + expand0.astype(jnp.int32)  # backprop start depth
+    l_even = L % 2 == 0
+    visits = tree.visits
+    value_sum = tree.value_sum
+    vis_add = jnp.zeros((B, N), jnp.float32)
+    val_add = jnp.zeros((B, N), jnp.float32)
+    for w in range(W):
+        v = leaf_val[:, w][:, None]
+        sgn = jnp.where(l_even[:, w][:, None], v, -v)
+        vis_add = vis_add + sels[w].mask_even + sels[w].mask_odd
+        val_add = (
+            val_add + sgn * sels[w].mask_even - sgn * sels[w].mask_odd
+        )
+    visits = visits + vis_add.astype(jnp.int32)
+    value_sum = value_sum + val_add
+
+    # New-node stats: duplicates redirect onto the canonical walker's node.
+    tgt_oh = first[:, :, None] == wrange[None, None, :]  # [B, W(src), W(tgt)]
+    contrib = tgt_oh & expand0[:, :, None]
+    cnt = jnp.sum(contrib, axis=1).astype(jnp.int32)  # [B, W(tgt)]
+    vsum_new = jnp.sum(
+        jnp.where(contrib, leaf_val[:, :, None], 0.0), axis=1
+    )  # [B, W]
+    keep_all = jnp.ones((B, W), bool)
+    old_v = jax.lax.dynamic_slice_in_dim(visits, base, W, 1)
+    visits = jax.lax.dynamic_update_slice_in_dim(
+        visits, old_v + cnt, base, 1
+    )
+    old_s = jax.lax.dynamic_slice_in_dim(value_sum, base, W, 1)
+    value_sum = jax.lax.dynamic_update_slice_in_dim(
+        value_sum, old_s + vsum_new, base, 1
+    )
+    del keep_all
+
+    # --- root edge stats ---
+    backed = (lengths >= 1) | (expand0 & from_root)  # [B, W]
+    sign1 = jnp.where(L % 2 == 1, leaf_val, -leaf_val)
+    oh_roots = jnp.stack(
+        [_onehot(s.root_action, A, jnp.float32) for s in sels], 1
+    )  # f32 [B, W, A]
+    root_evisits = tree.root_evisits + jnp.einsum(
+        "bwa,bw->ba", oh_roots, backed.astype(jnp.float32)
+    ).astype(jnp.int32)
+    root_evalue = tree.root_evalue + jnp.einsum(
+        "bwa,bw->ba", oh_roots, jnp.where(backed, sign1, 0.0)
+    )
+
+    return tree.replace(
+        root_child=root_child,
+        root_evisits=root_evisits,
+        root_evalue=root_evalue,
+        visits=visits,
+        value_sum=value_sum,
+        parent=parent,
+        terminal=terminal,
+        tvalue=tvalue,
+        depth=depth,
+        paction=paction,
+        pslot=pslot,
+        prior=prior_arr,
+        cchild=cchild,
+        caction=caction,
+        states=states,
+    )
+
+
 def search(
     env,
     eval_fn: EvalFn,
@@ -793,12 +1058,20 @@ def search(
     tree = instantiate_tree(env, root_states, logits, value, config,
                             noise_rng)
 
-    def body(t, sim):
-        return _simulate_once(env, eval_fn, t, sim + 1, config), ()
+    if config.wave_size > 1:
+        def body(t, wv):
+            return _simulate_wave(
+                env, eval_fn, t, 1 + wv * config.wave_size, config
+            ), ()
 
-    tree, _ = jax.lax.scan(
-        body, tree, jnp.arange(config.num_simulations), unroll=2
-    )
+        tree, _ = jax.lax.scan(body, tree, jnp.arange(config.waves))
+    else:
+        def body(t, sim):
+            return _simulate_once(env, eval_fn, t, sim + 1, config), ()
+
+        tree, _ = jax.lax.scan(
+            body, tree, jnp.arange(config.num_simulations), unroll=2
+        )
 
     counts = tree.root_evisits
     weights = counts / jnp.maximum(counts.sum(-1, keepdims=True), 1)
@@ -1091,8 +1364,15 @@ def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig,
         return instantiate_tree(env, root_states, logits, value, config,
                                 noise_rng)
 
+    W = config.wave_size
+
     @_functools.partial(jax.jit, donate_argnums=(1,))
     def sim_fn(params, tree, slot):
+        if W > 1:
+            return _simulate_wave(
+                env, lambda o, tp: param_eval(params, o, tp), tree, slot,
+                config,
+            )
         return _simulate_once(
             env, lambda o, tp: param_eval(params, o, tp), tree, slot, config
         )
@@ -1104,12 +1384,12 @@ def make_host_search(env, eval_fn: EvalFn, config: MCTSConfig,
         root_value = tree.value_sum[:, 0] / jnp.maximum(tree.visits[:, 0], 1)
         return counts, weights.astype(jnp.float32), root_value
 
-    sims = config.num_simulations
+    waves = config.waves
 
     def run_with_params(params, root_states, rng) -> SearchOutput:
         tree = init_fn(params, root_states, rng)
-        for sim in range(sims):
-            tree = sim_fn(params, tree, sim + 1)
+        for t in range(waves):
+            tree = sim_fn(params, tree, 1 + t * W)
         counts, weights, root_value = finalize_fn(tree)
         return SearchOutput(
             visit_counts=counts,
@@ -1170,6 +1450,11 @@ class HostReuseSearch:
 
         @_functools.partial(jax.jit, donate_argnums=(1,))
         def sim_fn(params, tree, slot):
+            if config.wave_size > 1:
+                return _simulate_wave(
+                    env, lambda o, tp: param_eval(params, o, tp), tree,
+                    slot, config,
+                )
             return _simulate_once(
                 env, lambda o, tp: param_eval(params, o, tp), tree, slot,
                 config,
@@ -1224,8 +1509,10 @@ class HostReuseSearch:
                 n_new = max(0, min(sims, sims - reused + 1))
             else:
                 n_new = sims
-        for t in range(n_new):
-            tree = self._sim_fn(params, tree, start + t)
+        W = cfg.wave_size
+        n_new = -(-n_new // W) * W  # round up to whole waves
+        for t in range(n_new // W):
+            tree = self._sim_fn(params, tree, start + t * W)
         counts, weights, root_value = self._finalize_fn(tree)
         self._tree = tree
         self._last_action = None

@@ -237,12 +237,20 @@ def forward_int8(qp, obs):
 # --------------------------------------------------------------------------
 # public entry
 
-def make_int8_eval_fn(model, variables, calib_obs=None):
+def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 1024):
     """BN-fold, calibrate and quantize ``model`` into an int8 EvalFn.
 
     ``calib_obs``: observation array(s) for activation-range calibration;
     defaults to zeros (exact for freshly initialized nets; pass real
-    self-play observations for trained nets)."""
+    self-play observations for trained nets).
+
+    ``chunk``: batches larger than this run as sequential lax.map chunks.
+    Measured on v5e (tools/profile_int8_fwd.py): per-sample cost degrades
+    super-linearly past ~1024 — the SE/residual/requant elementwise chain
+    and the heads fall out of the conv fusions (B=4096: SE 0->2.2 ms,
+    heads 0.12->0.84 ms) while the pure conv chain stays linear.  Chunking
+    keeps every chunk on the B=1024 fusion profile: 4x1.13 ms vs 7.5 ms
+    monolithic at 4096."""
     fp = extract_folded(model, variables)
     if calib_obs is None:
         obs_shape = _infer_obs_shape(model, variables)
@@ -253,6 +261,14 @@ def make_int8_eval_fn(model, variables, calib_obs=None):
     qp = quantize(fp, scales)
 
     def eval_fn(obs, to_play=None):
+        B = obs.shape[0]
+        if chunk and B > chunk and B % chunk == 0:
+            chunks = obs.reshape((B // chunk, chunk) + obs.shape[1:])
+            logits, value = jax.lax.map(
+                lambda o: forward_int8(qp, o), chunks
+            )
+            return (logits.reshape((B,) + logits.shape[2:]),
+                    value.reshape((B,)))
         return forward_int8(qp, obs)
 
     return eval_fn

@@ -24,6 +24,10 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
     sims = int(os.environ.get("BENCH_SIMS", "800"))
     moves = int(os.environ.get("BENCH_MOVES", "16"))
+    reuse = os.environ.get("BENCH_REUSE", "0") == "1"
+    wave = int(os.environ.get("BENCH_WAVE", "1"))
+    game = os.environ.get("BENCH_GAME", "gomoku")
+    board = int(os.environ.get("BENCH_BOARD", "15"))
 
     import jax
 
@@ -33,7 +37,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from alphazero_tpu.games.gomoku import GomokuEnv
+    from alphazero_tpu.core import registry
     from alphazero_tpu.mcts.search import MCTSConfig
     from alphazero_tpu.models.resnet import (
         AZResNet,
@@ -42,7 +46,7 @@ def main():
     )
     from alphazero_tpu.selfplay.actor import SelfPlayConfig, make_host_actor
 
-    env = GomokuEnv(board_size=15)
+    env = registry.create_game(game, board)
     model = AZResNet(num_actions=env.num_actions, cfg=ResNetConfig())
     rng = jax.random.key(0)
     params = model.init(
@@ -67,13 +71,42 @@ def main():
         # BN-folded bf16 inference (models/resnet.fold_batch_norm).
         eval_fn = make_inference_eval_fn(model, params)
 
+    # Tree reuse (reference updateWithMove, parallel_mcts.cpp:1065) with the
+    # "topup" budget: each move runs only enough fresh simulations that every
+    # lane's root reaches `sims` visits — equal root visit quality to a
+    # from-scratch search, fewer NN forwards per move.
+    # BENCH_WAVE>1: W virtual-loss descents per dispatch sharing one NN
+    # batch — the reference's BATCHED self-play mode (see
+    # MCTSConfig.wave_size); amortizes per-op engine overhead.
     config = SelfPlayConfig(
-        mcts=MCTSConfig(num_simulations=sims), max_moves=moves
+        mcts=MCTSConfig(num_simulations=sims, tree_reuse=reuse,
+                        reuse_budget="topup", wave_size=wave),
+        max_moves=moves,
     )
     # Host-driven actor: per-sim executables with donated arenas (see
     # mcts/search.make_host_search) — measured ~3x over the scanned loop.
     step, states = make_host_actor(env, eval_fn, config, batch)
     r0 = jax.random.key(0)
+
+    # BENCH_MODE=midgame (VERDICT r1 #9): the opening-16-moves figure is
+    # depth-biased (descents average ~2 iterations on shallow trees).
+    # Advance every game 40 plies with cheap policy-sampled moves first,
+    # then time the same 16 searched moves from mid-game positions.
+    if os.environ.get("BENCH_MODE", "") == "midgame":
+        from alphazero_tpu.mcts.search import masked_softmax
+
+        @jax.jit
+        def policy_move(states, rng):
+            obs = jax.vmap(env.observation)(states)
+            logits, _ = eval_fn(obs, jax.vmap(env.to_play)(states))
+            legal = jax.vmap(env.legal_mask)(states)
+            probs = masked_softmax(logits, legal)
+            acts = jax.random.categorical(rng, jnp.log(probs + 1e-9))
+            return jax.vmap(env.step)(states, acts.astype(jnp.int32))
+
+        for i in range(40):
+            states = policy_move(states, jax.random.key(1000 + i))
+        jax.block_until_ready(states.move_count)
 
     # Warmup/compile.
     t0 = time.perf_counter()
@@ -83,25 +116,34 @@ def main():
 
     # Timed run.
     done_moves = 0
+    fresh_sims = 0
     t0 = time.perf_counter()
     for i in range(moves):
         states, rec = step(states, jax.random.key(2 + i))
         done_moves += int(jnp.sum(rec.active))
+        fresh_sims += getattr(step.search, "last_fresh_sims", sims)
     jax.block_until_ready(rec.action)
     elapsed = time.perf_counter() - t0
 
     moves_per_s = done_moves / elapsed
+    suffix = (
+        "_midgame" if os.environ.get("BENCH_MODE", "") == "midgame" else ""
+    )
     result = {
-        "metric": "selfplay_moves_per_s_per_chip_gomoku15_800sims",
+        "metric": (
+            f"selfplay_moves_per_s_per_chip_gomoku15_{sims}sims{suffix}"
+        ),
         "value": round(moves_per_s, 2),
         "unit": "moves/s",
         "vs_baseline": round(moves_per_s / BASELINE_MOVES_PER_S, 2),
     }
     print(json.dumps(result))
     print(
-        f"# batch={batch} sims={sims} timed_moves={moves} "
+        f"# batch={batch} sims={sims} timed_moves={moves} reuse={reuse} "
+        f"wave={wave} "
+        f"fresh_sims/move={fresh_sims / max(1, moves):.0f} "
         f"elapsed={elapsed:.1f}s compile={compile_s:.1f}s "
-        f"sims/s={batch * sims * moves / elapsed:,.0f}",
+        f"sims/s={batch * fresh_sims / elapsed:,.0f}",
         file=sys.stderr,
     )
 

@@ -313,3 +313,72 @@ class TestWidePointerMode:
             lambda s, r: search(env, eval_fn, s, r, cfg)
         )(states, jax.random.key(0))
         assert out.tree.cchild.dtype == jnp.float16
+
+
+class TestWaveMode:
+    """wave_size > 1: W virtual-loss descents per step sharing one NN batch
+    (the reference's BATCHED self-play mode, self_play_manager.cpp:166-175;
+    see MCTSConfig.wave_size)."""
+
+    def test_visit_budget_waves(self):
+        for W in (2, 4, 8):
+            cfg = MCTSConfig(num_simulations=64, wave_size=W,
+                             dirichlet_epsilon=0.0)
+            out = jsearch(ENV, cfg)(batch_init(ENV, 2), jax.random.key(0))
+            np.testing.assert_array_equal(out.tree.visits[:, 0], 65)
+            np.testing.assert_array_equal(out.visit_counts.sum(-1), 64)
+            assert np.isfinite(np.asarray(out.tree.value_sum)).all()
+
+    def test_wave_finds_immediate_win(self):
+        # Four black stones in a row: search must pile visits on the win.
+        env = GomokuEnv(board_size=7)
+        states = batch_init(env, 2)
+        for a in (0, 7, 1, 8, 2, 9, 3, 10):
+            states = batch_play(env, states, [a, a])
+        cfg = MCTSConfig(num_simulations=96, wave_size=4,
+                         dirichlet_epsilon=0.0)
+        eval_fn = make_uniform_eval_fn(env.num_actions)
+        out = jax.jit(lambda s, r: search(env, eval_fn, s, r, cfg))(
+            states, jax.random.key(0)
+        )
+        assert (np.asarray(out.visit_counts).argmax(-1) == 4).all()
+
+    def test_wave_duplicate_merge_budget(self):
+        # More walkers than legal moves: duplicates must merge without
+        # losing the visit budget (live nodes < allocated slots).
+        env = GomokuEnv(board_size=5)
+        states = batch_init(env, 2)
+        for a in (0, 1, 2, 3, 5, 6, 8, 9, 15, 16, 18, 19, 10, 14, 4, 20,
+                  22, 7):
+            states = batch_play(env, states, [a, a])
+        legal = np.asarray(jax.vmap(env.legal_mask)(states))
+        assert legal.sum() > 0
+        cfg = MCTSConfig(num_simulations=32, wave_size=8,
+                         dirichlet_epsilon=0.0)
+        eval_fn = make_uniform_eval_fn(env.num_actions, value_noise=0.0)
+        out = jax.jit(lambda s, r: search(env, eval_fn, s, r, cfg))(
+            states, jax.random.key(1)
+        )
+        np.testing.assert_array_equal(out.tree.visits[:, 0], 33)
+        np.testing.assert_array_equal(out.visit_counts.sum(-1), 32)
+        live = (np.asarray(out.tree.visits) > 0).sum(-1)
+        assert (live < 33).all()  # merges happened
+
+    def test_wave_weights_close_to_sequential(self):
+        # Virtual-loss waves approximate the sequential search: the greedy
+        # action should agree on a tactically clear position.
+        env = GomokuEnv(board_size=7)
+        states = batch_init(env, 2)
+        for a in (0, 7, 1, 8, 2, 9):
+            states = batch_play(env, states, [a, a])
+        eval_fn = make_uniform_eval_fn(env.num_actions)
+        outs = {}
+        for W in (1, 4):
+            cfg = MCTSConfig(num_simulations=128, wave_size=W,
+                             dirichlet_epsilon=0.0)
+            outs[W] = jax.jit(lambda s, r: search(env, eval_fn, s, r, cfg))(
+                states, jax.random.key(0)
+            )
+        a1 = np.asarray(outs[1].visit_counts).argmax(-1)
+        a4 = np.asarray(outs[4].visit_counts).argmax(-1)
+        np.testing.assert_array_equal(a1, a4)
