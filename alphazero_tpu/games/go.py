@@ -111,34 +111,50 @@ def _n_squarings(size: int) -> int:
 
 def _reach_matrix(region_flat: jax.Array) -> jax.Array:
     """bool [S, S]: reachability via 4-adjacency *within* ``region_flat``
-    ([S] bool), self-loops included on region cells."""
+    ([S] bool), self-loops included on region cells.
+
+    int8 squarings (int32 accumulate, entries are {0,1} / exact counts
+    <= S): the v5e int8 MXU path runs these [S,S] matmuls at ~2x bf16 —
+    at 19x19 the squaring chain is the dominant per-simulation FLOP cost
+    (BENCHLOG round 2)."""
     S = region_flat.shape[0]
     n = int(round(S ** 0.5))
     A = jnp.asarray(_adjacency_np(n))
     M = (A & region_flat[None, :] & region_flat[:, None]) | (
         jnp.eye(S, dtype=bool) & region_flat[None, :]
     )
-    Mb = M.astype(jnp.bfloat16)
+    Mi = M.astype(jnp.int8)
     for _ in range(_n_squarings(S)):
-        Mb = (
-            jnp.matmul(Mb, Mb, preferred_element_type=jnp.float32) > 0.5
-        ).astype(jnp.bfloat16)
-    return Mb > 0.5
+        Mi = (
+            jnp.matmul(Mi, Mi, preferred_element_type=jnp.int32) > 0
+        ).astype(jnp.int8)
+    return Mi > 0
+
+
+def _or_flood(seed: jax.Array, region: jax.Array) -> jax.Array:
+    """Grow ``seed`` through ``region`` via iterated 4-neighbor OR until
+    fixpoint (exact; convergence-checked while_loop).  For pure membership
+    floods this replaces the [S,S] reachability matmuls entirely: per
+    iteration it is a few elementwise ops on the [N,N] plane, and under
+    vmap the loop runs until every lane converges (iterations = max group
+    diameter across the batch, typically far below the N*N-1 worst case)."""
+
+    def cond(c):
+        return c[1]
+
+    def body(c):
+        x, _ = c
+        nx = x | (_neighbors(x) & region)
+        return nx, jnp.any(nx != x)
+
+    x0 = seed & region
+    out, _ = jax.lax.while_loop(cond, body, (x0, jnp.any(x0)))
+    return out
 
 
 def _flood(seed: jax.Array, region: jax.Array) -> jax.Array:
     """Grow ``seed`` through ``region`` via 4-adjacency (exact)."""
-    n = region.shape[0]
-    reach = _reach_matrix(region.reshape(-1))
-    s = (seed & region).reshape(-1)
-    out = (
-        jnp.matmul(
-            s.astype(jnp.bfloat16), reach.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-        > 0.5
-    )
-    return out.reshape(n, n) & region
+    return _or_flood(seed & region, region)
 
 
 def _group_ids(stones: jax.Array) -> jax.Array:
@@ -178,10 +194,10 @@ def _cell_group_stats(
     adj_empty = A & empty_flat[None, :]
     lib_ind = (
         jnp.matmul(
-            reach.astype(jnp.bfloat16), adj_empty.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
+            reach.astype(jnp.int8), adj_empty.astype(jnp.int8),
+            preferred_element_type=jnp.int32,
         )
-        > 0.5
+        > 0
     )  # [S, S]
     libs = jnp.where(stones_flat, lib_ind.sum(-1).astype(jnp.int32), 0)
     libpos = jnp.where(
@@ -431,12 +447,13 @@ class GoEnv:
         oh_cell = (oh_flat & ~is_pass).reshape(n, n)
         opp_val = (1 - mover).astype(jnp.int8)
         board1 = jnp.where(oh_cell, mover.astype(jnp.int8), state.board)
-        opp_flat1 = (board1 == opp_val).reshape(-1)
-        empty_flat1 = (board1 == -1).reshape(-1)
-        opp_stats1 = _cell_group_stats(opp_flat1, empty_flat1)
-        captured = (
-            (opp_flat1 & (opp_stats1.libs == 0)).reshape(n, n) & ~is_pass
-        )
+        opp1 = board1 == opp_val
+        empty1 = board1 == -1
+        # Capture = opponent stones whose group reaches no liberty.  Pure
+        # membership flood (OR-propagation to fixpoint) — no [S,S]
+        # reachability needed (the go19 rewrite; BENCHLOG round 2).
+        alive = _or_flood(opp1 & _neighbors(empty1), opp1)
+        captured = (opp1 & ~alive) & ~is_pass
         board2 = jnp.where(captured, jnp.int8(-1), board1)
         ccount = captured.sum()
 
@@ -454,13 +471,13 @@ class GoEnv:
 
         # Simple ko: captured exactly one stone and the placed stone's group
         # is that single stone with a single liberty (go_state.cpp:233-236).
-        own_stats2 = _cell_group_stats(
-            (board2 == mover.astype(jnp.int8)).reshape(-1),
-            (board2 == -1).reshape(-1),
-        )
-        oh_i32 = oh_cell.reshape(-1).astype(jnp.int32)
-        placed_group_size = (own_stats2.size * oh_i32).sum()
-        placed_libs = (own_stats2.libs * oh_i32).sum()
+        # Single-group queries via flood from the placed stone — size and
+        # distinct-liberty count need no per-cell group tables here.
+        own2 = board2 == mover.astype(jnp.int8)
+        empty2 = board2 == -1
+        placed_group = _or_flood(oh_cell & own2, own2)
+        placed_group_size = placed_group.sum()
+        placed_libs = (_neighbors(placed_group) & empty2).sum()
         cap_cell = jnp.argmax(captured.reshape(-1))  # the single captured cell
         ko = (
             (~is_pass)
@@ -556,20 +573,9 @@ class GoEnv:
     # ---- scoring ---------------------------------------------------------
 
     def _territory(self, board: jax.Array):
-        n = board.shape[0]
         empty = board == -1
-        reach = _reach_matrix(empty.reshape(-1))  # shared by both colors
-        reach_bf = reach.astype(jnp.bfloat16)
-
-        def spread(seed):
-            s = (seed & empty).reshape(-1).astype(jnp.bfloat16)
-            out = jnp.matmul(
-                s, reach_bf, preferred_element_type=jnp.float32
-            ) > 0.5
-            return out.reshape(n, n)
-
-        reach_b = spread(_neighbors(board == 0))
-        reach_w = spread(_neighbors(board == 1))
+        reach_b = _or_flood(_neighbors(board == 0) & empty, empty)
+        reach_w = _or_flood(_neighbors(board == 1) & empty, empty)
         terr_b = empty & reach_b & ~reach_w
         terr_w = empty & reach_w & ~reach_b
         return terr_b, terr_w

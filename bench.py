@@ -134,7 +134,7 @@ def main():
     )
     result = {
         "metric": (
-            f"selfplay_moves_per_s_per_chip_gomoku15_{sims}sims{suffix}"
+            f"selfplay_moves_per_s_per_chip_{game}{board}_{sims}sims{suffix}"
         ),
         "value": round(moves_per_s, 2),
         "unit": "moves/s",

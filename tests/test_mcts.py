@@ -382,3 +382,18 @@ class TestWaveMode:
         a1 = np.asarray(outs[1].visit_counts).argmax(-1)
         a4 = np.asarray(outs[4].visit_counts).argmax(-1)
         np.testing.assert_array_equal(a1, a4)
+
+    def test_wave_go_capture_flood(self):
+        # Go env inside waves: the step's convergence-checked capture flood
+        # (games/go._or_flood) must compose with vmap inside the wave body.
+        from alphazero_tpu.games.go import GoEnv
+
+        env = GoEnv(board_size=5)
+        states = jax.vmap(lambda _: env.init())(jnp.arange(2))
+        cfg = MCTSConfig(num_simulations=32, wave_size=4,
+                         dirichlet_epsilon=0.0)
+        eval_fn = make_uniform_eval_fn(env.num_actions)
+        out = jax.jit(lambda s, r: search(env, eval_fn, s, r, cfg))(
+            states, jax.random.key(2)
+        )
+        np.testing.assert_array_equal(out.visit_counts.sum(-1), 32)

@@ -227,3 +227,33 @@ class TestBatchNormSharded:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-5)
+
+
+class TestDistributed:
+    """parallel/distributed.py — the multi-host entry points, exercised in
+    their single-process forms (a real pod changes only jax.distributed's
+    environment detection, not these code paths)."""
+
+    def test_initialize_noop_single_process(self):
+        from alphazero_tpu.parallel import distributed
+
+        # No coordinator configured -> must not call jax.distributed.
+        distributed.initialize()
+
+    def test_host_local_batch(self):
+        from alphazero_tpu.parallel import distributed
+
+        assert distributed.host_local_batch(64) == 64  # 1 process
+
+    def test_make_global_array_single_process(self):
+        from jax.sharding import PartitionSpec as P
+
+        from alphazero_tpu.parallel import distributed, mesh as meshlib
+
+        mesh = meshlib.make_mesh()
+        local = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+        arr = distributed.make_global_array(local, mesh, P(meshlib.DATA_AXIS))
+        assert arr.shape == (16, 3)
+        np.testing.assert_array_equal(np.asarray(arr), local)
+        # Sharded over the data axis.
+        assert len(arr.sharding.device_set) == mesh.shape[meshlib.DATA_AXIS]

@@ -22,14 +22,20 @@ from alphazero_tpu.training.pipeline import Pipeline, PipelineConfig
 
 ITERS = int(os.environ.get("DEMO_ITERS", "8"))
 GAME = os.environ.get("DEMO_GAME", "gomoku")
+WAVE = int(os.environ.get("DEMO_WAVE", "1"))
+BOARD = int(os.environ.get("DEMO_BOARD", "9"))
+GAMES = int(os.environ.get("DEMO_GAMES", "512"))
+SIMS = int(os.environ.get("DEMO_SIMS", "128"))
 
+MAXM = BOARD * BOARD + 1
 config = PipelineConfig(
     game=GAME,
-    board_size=9,
+    board_size=BOARD,
     model=ResNetConfig(num_blocks=4, channels=64),
     selfplay=SelfPlayConfig(
-        mcts=MCTSConfig(num_simulations=128, dirichlet_alpha=0.2),
-        max_moves=82,
+        mcts=MCTSConfig(num_simulations=SIMS, dirichlet_alpha=0.2,
+                        wave_size=WAVE),
+        max_moves=MAXM,
         temperature_drop_move=12,
     ),
     learner=LearnerConfig(
@@ -37,7 +43,7 @@ config = PipelineConfig(
         total_steps=ITERS * 64,
     ),
     iterations=ITERS,
-    games_per_iteration=512,
+    games_per_iteration=GAMES,
     train_steps_per_iteration=64,
     train_batch_size=2048,
     replay_capacity=200_000,
@@ -64,7 +70,7 @@ def eval_trained(obs, to_play=None):
 eval_random = make_uniform_eval_fn(env.num_actions, value_noise=0.1)
 acfg = ArenaConfig(
     mcts=MCTSConfig(num_simulations=64, dirichlet_epsilon=0.0),
-    max_moves=82,
+    max_moves=MAXM,
     temperature=0.1,
 )
 res = jax.jit(
