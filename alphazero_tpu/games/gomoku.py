@@ -398,27 +398,31 @@ class GomokuEnv:
         """Enhanced 11-plane tensor (gomoku_state.cpp:207-257): [me, opp,
         black-to-move, 3x prev-black one-hot, 3x prev-white one-hot, 2x
         CoordConv]."""
+        # Planes are emitted in bf16: every consumer (the flax model, the
+        # bf16/int8 inference paths) casts obs to bf16 as its first op, so
+        # this is numerically identical while halving the concat + leaf-eval
+        # HBM traffic on the self-play hot path (obs build was ~8% of
+        # per-sim cost at f32; see BENCHLOG round 2).
+        dt = jnp.bfloat16
         n = self.board_size
-        me = (state.board == state.to_play.astype(jnp.int8)).astype(jnp.float32)
-        opp = (state.board == (1 - state.to_play).astype(jnp.int8)).astype(
-            jnp.float32
-        )
-        black_to_move = jnp.full((n, n), 1.0, jnp.float32) * (
+        me = (state.board == state.to_play.astype(jnp.int8)).astype(dt)
+        opp = (state.board == (1 - state.to_play).astype(jnp.int8)).astype(dt)
+        black_to_move = jnp.full((n, n), 1.0, dt) * (
             state.to_play == 0
-        ).astype(jnp.float32)
+        ).astype(dt)
 
         def onehots(moves):  # [3] flat actions -> [3, N, N]
             idx = jnp.arange(n * n)
             planes = (idx[None, :] == moves[:, None]) & (moves[:, None] >= 0)
-            return planes.reshape(3, n, n).astype(jnp.float32)
+            return planes.reshape(3, n, n).astype(dt)
 
         prev_black = onehots(state.last_moves[0])
         prev_white = onehots(state.last_moves[1])
         coord_x = jnp.broadcast_to(
-            (jnp.arange(n, dtype=jnp.float32) / (n - 1))[:, None], (n, n)
+            (jnp.arange(n, dtype=dt) / (n - 1))[:, None], (n, n)
         )
         coord_y = jnp.broadcast_to(
-            (jnp.arange(n, dtype=jnp.float32) / (n - 1))[None, :], (n, n)
+            (jnp.arange(n, dtype=dt) / (n - 1))[None, :], (n, n)
         )
         return jnp.concatenate(
             [

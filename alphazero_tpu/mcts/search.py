@@ -32,6 +32,7 @@ on TPU, so the hot loop avoids it entirely:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
@@ -288,6 +289,43 @@ def _vec_gather(arr2: jax.Array, onehot_b16: jax.Array,
                           preferred_element_type=jnp.float32,
                           precision=precision)
     return jnp.sum(onehot_b16.astype(arr2.dtype) * arr2, axis=1)
+
+
+def _radix_gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """table[b, idx[b, m], :] via a two-level (radix) one-hot contraction:
+    [B, N, C] gathered at i32 [B, M] -> f32 [B, M, C].
+
+    Equivalent to the flat [B, M, N] one-hot einsum, but materializes two
+    O(M·√N) one-hots plus an O(M·√N·C) intermediate instead of one O(M·N)
+    one-hot — at the wave-select shape (M = W·K = 512, N ≈ 800) that's
+    ~250 MB of traffic per level instead of ~1.7 GB, and it was the
+    dominant engine cost at wave_size 16 (BENCHLOG round 2).
+
+    Exactness: stage 1 selects one column within each √N-block (every
+    output element is a single table value, no summation), stage 2 selects
+    the block — values are read at bf16 precision, identical to the flat
+    one-hot path (the TPU f32 matmul default is a single bf16 pass)."""
+    B, N, C = table.shape
+    r2 = max(1, int(math.isqrt(N - 1)) + 1)  # ceil(sqrt(N))
+    r1 = -(-N // r2)
+    pad = r1 * r2 - N
+    t4 = table if pad == 0 else jnp.pad(table, ((0, 0), (0, pad), (0, 0)))
+    t4 = t4.reshape(B, r1, r2, C)
+    hi = idx // r2
+    lo = idx - hi * r2
+    oh_lo = (
+        lo[:, :, None] == jnp.arange(r2, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.bfloat16)
+    oh_hi = (
+        hi[:, :, None] == jnp.arange(r1, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.bfloat16)
+    # Stage 1: within-block select, [B,M,r2] x [B,r1,r2,C] -> [B,M,r1,C].
+    # bf16 output is exact: each element is one bf16-truncated table value.
+    t = jnp.einsum("bml,bhlc->bmhc", oh_lo, t4,
+                   preferred_element_type=jnp.bfloat16)
+    # Stage 2: block select, [B,M,r1] x [B,M,r1,C] -> [B,M,C].
+    return jnp.einsum("bmh,bmhc->bmc", oh_hi, t,
+                      preferred_element_type=jnp.float32)
 
 
 def _puct(
@@ -921,13 +959,7 @@ def _select_wave(tree: Tree, config: MCTSConfig, W: int) -> _WaveSelect:
             preferred_element_type=jnp.float32, precision=cr_prec,
         )).astype(jnp.int32)
         cidx = jnp.maximum(child_row, 0).reshape(B, W * K)
-        oh_children = (
-            cidx[:, :, None] == jnp.arange(N, dtype=jnp.int32)[None, None, :]
-        ).astype(jnp.bfloat16)
-        cstats = jnp.einsum(
-            "bmn,bnc->bmc", oh_children, stats,
-            preferred_element_type=jnp.float32,
-        ).reshape(B, W, K, 2)
+        cstats = _radix_gather_rows(stats, cidx).reshape(B, W, K, 2)
         has_child = child_row >= 0
         cv = jnp.where(has_child, cstats[..., 0], 0.0)
         cw = jnp.where(has_child, cstats[..., 1], 0.0)
@@ -1068,19 +1100,18 @@ def _simulate_wave(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
     from_root = slots_k < 0
 
     # --- merge duplicate expansions (same leaf, same edge) ---
+    # first[b, w] = smallest w2 <= w with the same (leaf, action) expansion
+    # (w itself when unique) — one [B, W, W] comparison instead of the
+    # O(W^2) scalar-op chain.
     wrange = jnp.arange(W, dtype=jnp.int32)
-    first = []
-    for w in range(W):
-        f = jnp.full((B,), w, jnp.int32)
-        for w2 in range(w - 1, -1, -1):
-            same = (
-                (leafs[:, w] == leafs[:, w2])
-                & (actions[:, w] == actions[:, w2])
-                & expand0[:, w] & expand0[:, w2]
-            )
-            f = jnp.where(same, w2, f)
-        first.append(f)
-    first = jnp.stack(first, 1)  # i32 [B, W]
+    same = (
+        (leafs[:, :, None] == leafs[:, None, :])
+        & (actions[:, :, None] == actions[:, None, :])
+        & expand0[:, :, None] & expand0[:, None, :]
+        & (wrange[None, :, None] >= wrange[None, None, :])
+    )  # bool [B, W(src), W(candidate)]
+    first = jnp.argmax(same, axis=2).astype(jnp.int32)  # first True wins
+    first = jnp.where(expand0, first, wrange[None, :])  # non-expanding: self
     expand = expand0 & (first == wrange[None, :])  # canonical walkers only
 
     # --- batched leaf pipeline over B*W ---
@@ -1148,21 +1179,25 @@ def _simulate_wave(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
         )
         root_child = jnp.where(m, base + w, root_child)
 
-    link_any = jnp.zeros((B, N, K), jnp.bool_)
-    link_val = jnp.zeros((B, N, K), jnp.float32)
-    for w in range(W):
-        oh_slot = (
-            jnp.maximum(slots_k[:, w], 0)[:, None]
-            == jnp.arange(K, dtype=jnp.int32)[None, :]
-        )
-        lm = (
-            (expand[:, w] & ~from_root[:, w])[:, None, None]
-            & (oh_leaves[:, w] > 0)[:, :, None]
-            & oh_slot[:, None, :]
-        )
-        link_any = link_any | lm
-        link_val = jnp.where(lm, (base + w).astype(jnp.float32), link_val)
-    cchild = jnp.where(link_any, link_val.astype(cchild.dtype), cchild)
+    # Deep links: scatter (base + w) into each canonical walker's
+    # (leaf, slot) edge as TWO [B,W,·] x [B,W,·] einsums over the walker
+    # axis instead of W sequential [B,N,K] where-passes.  After the dedupe
+    # pass (leaf, slot) pairs are unique among linking walkers, so the
+    # count is 0/1 and the w-index sum is exact (values < W fit bf16).
+    deep = (expand & ~from_root).astype(jnp.bfloat16)  # [B, W]
+    oh_slots = (
+        slots_k[:, :, None] == jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.bfloat16)  # [B, W, K] (slot < 0 rows are all-zero)
+    src = oh_leaves * deep[:, :, None]  # bf16 [B, W, N]
+    link_cnt = jnp.einsum("bwn,bwk->bnk", src, oh_slots,
+                          preferred_element_type=jnp.float32)
+    link_w = jnp.einsum("bwn,bwk->bnk", src * wrange.astype(jnp.bfloat16)[
+        None, :, None], oh_slots, preferred_element_type=jnp.float32)
+    cchild = jnp.where(
+        link_cnt > 0.5,
+        (base.astype(jnp.float32) + link_w).astype(cchild.dtype),
+        cchild,
+    )
 
     # --- combined backprop ---
     leaf_tval = jnp.einsum(

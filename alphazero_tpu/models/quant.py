@@ -216,7 +216,13 @@ def forward_int8(qp, obs):
     """Quantized forward (NCHW obs) -> (logits f32, value f32)."""
     x = jnp.transpose(obs.astype(jnp.float32), (0, 2, 3, 1))
     xq = _quant_act(x, qp["in_scale"])
+    return forward_int8_from_q(qp, xq)
 
+
+def forward_int8_from_q(qp, xq):
+    """Quantized forward from pre-quantized NHWC s8 input (the chunked
+    eval path quantizes ONCE over the whole leaf batch before lax.map, so
+    the f32 obs isn't re-read/transposed per chunk)."""
     st = qp["stem"]
     y = _conv_i8(xq, st["wq"]).astype(jnp.float32) * st["m"] + st["bias"]
     a = jax.nn.relu(y).astype(jnp.bfloat16)  # stem out (bf16 master copy)
@@ -263,9 +269,15 @@ def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 1024):
     def eval_fn(obs, to_play=None):
         B = obs.shape[0]
         if chunk and B > chunk and B % chunk == 0:
-            chunks = obs.reshape((B // chunk, chunk) + obs.shape[1:])
+            # Transpose + quantize the WHOLE leaf batch in one fused pass
+            # (f32/bf16 NCHW -> s8 NHWC), then map the conv trunk over s8
+            # chunks — the map slices read 4-8x fewer bytes than mapping
+            # over raw f32 observations.
+            x = jnp.transpose(obs.astype(jnp.float32), (0, 2, 3, 1))
+            xq = _quant_act(x, qp["in_scale"])
+            chunks = xq.reshape((B // chunk, chunk) + xq.shape[1:])
             logits, value = jax.lax.map(
-                lambda o: forward_int8(qp, o), chunks
+                lambda q: forward_int8_from_q(qp, q), chunks
             )
             return (logits.reshape((B,) + logits.shape[2:]),
                     value.reshape((B,)))

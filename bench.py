@@ -69,7 +69,10 @@ def main():
         calib = jax.vmap(env.observation)(
             jax.vmap(lambda _: env.init())(jnp.arange(8))
         )
-        eval_fn = make_int8_eval_fn(model, params, calib_obs=calib)
+        # BENCH_CHUNK: lax.map chunk for the NN leaf batch (0 = monolithic).
+        chunk = int(os.environ.get("BENCH_CHUNK", "1024"))
+        eval_fn = make_int8_eval_fn(model, params, calib_obs=calib,
+                                    chunk=chunk or None)
     else:
         # BN-folded bf16 inference (models/resnet.fold_batch_norm).
         eval_fn = make_inference_eval_fn(model, params)

@@ -331,6 +331,29 @@ class TestDraws:
         assert bool(s.terminal)
         assert int(s.winner) == -1
 
+    def test_repetition_ring_capacity_boundary(self):
+        """The repetition ring is a bounded TPU tradeoff: a threefold whose
+        occurrences span more plies than ``history_len`` is missed (the
+        first occurrence has been overwritten), while a wider ring catches
+        it.  This pins the documented behavior at the boundary (README
+        'Bounded history rings'): an 8-ply knight-shuffle cycle repeats the
+        startpos at plies 0/8/16 — at history_len=16 ply 16 lands on ply
+        0's slot (16 % 16 == 0) so only 2 copies are ever visible."""
+        # 8-ply cycle: both knights tour g1-f3-g5-h3 / g8-f6-g4-h6 and back.
+        cycle = [("g1", "f3"), ("g8", "f6"), ("f3", "g5"), ("f6", "g4"),
+                 ("g5", "h3"), ("g4", "h6"), ("h3", "g1"), ("h6", "g8")]
+        for hlen, drawn in ((16, False), (32, True)):
+            env = ChessEnv(history_len=hlen)
+            s = env.init()
+            step = jstep1(env)
+            for frm, to in cycle * 2:
+                assert not bool(s.terminal)
+                a = T.encode_move(square_from_alg(frm), square_from_alg(to))
+                s = step(s, jnp.asarray(a))
+            assert bool(s.terminal) == drawn
+            if drawn:
+                assert int(s.winner) == -1
+
 
 class TestChess960:
     def test_position_zero_layout(self):
