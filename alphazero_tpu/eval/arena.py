@@ -51,15 +51,22 @@ def make_mover_eval_fn(eval_a: EvalFn, eval_b: EvalFn, half: int,
     vice versa.  Each half runs ONE network under ``lax.cond`` — half the
     forwards of the per-leaf ``make_matchup_eval_fn``."""
 
+    def as_f32(e):
+        # cond branches must agree on output dtypes; evaluators may differ
+        # (e.g. a bf16 stub vs an int8-trunk model with f32 logits).
+        def f(o, t):
+            logits, value = e(o, t)
+            return logits.astype(jnp.float32), value.astype(jnp.float32)
+
+        return f
+
+    fa, fb = as_f32(eval_a), as_f32(eval_b)
+
     def eval_fn(obs, to_play):
         o1, o2 = obs[:half], obs[half:]
         t1, t2 = to_play[:half], to_play[half:]
-        l1, v1 = jax.lax.cond(black_to_move,
-                              lambda o, t: eval_a(o, t),
-                              lambda o, t: eval_b(o, t), o1, t1)
-        l2, v2 = jax.lax.cond(black_to_move,
-                              lambda o, t: eval_b(o, t),
-                              lambda o, t: eval_a(o, t), o2, t2)
+        l1, v1 = jax.lax.cond(black_to_move, fa, fb, o1, t1)
+        l2, v2 = jax.lax.cond(black_to_move, fb, fa, o2, t2)
         return (jnp.concatenate([l1, l2]), jnp.concatenate([v1, v2]))
 
     return eval_fn

@@ -733,30 +733,31 @@ class ChessEnv:
         """Enhanced 18-plane tensor (chess_state.cpp:710-769): 12 piece
         planes + [turn, castling*0.25/right, en-passant, halfmove/100,
         chess960 flag, repetition/3]."""
+        # bf16 planes: consumers cast to bf16 anyway; halves obs HBM
+        # traffic on the leaf-eval hot path (see games/gomoku.observation).
+        dt = jnp.bfloat16
         board = state.board
         planes = [
-            (board == jnp.int8(p)).astype(jnp.float32) for p in range(12)
+            (board == jnp.int8(p)).astype(dt) for p in range(12)
         ]
-        ones = jnp.ones((8, 8), jnp.float32)
+        ones = jnp.ones((8, 8), dt)
         turn = ones * (state.to_play == 0)
         cast_val = 0.25 * (
-            state.castling[0, 0].astype(jnp.float32)
+            state.castling[0, 0].astype(dt)
             + state.castling[0, 1]
             + state.castling[1, 0]
             + state.castling[1, 1]
         )
-        ep = (jnp.arange(64).reshape(8, 8) == state.ep_square).astype(
-            jnp.float32
-        )
+        ep = (jnp.arange(64).reshape(8, 8) == state.ep_square).astype(dt)
         return jnp.stack(
             planes
             + [
                 turn,
                 ones * cast_val,
                 ep,
-                ones * jnp.minimum(state.halfmove / 100.0, 1.0),
+                ones * jnp.minimum(state.halfmove / 100.0, 1.0).astype(dt),
                 ones * (1.0 if self.chess960_position is not None else 0.0),
-                ones * jnp.minimum(state.rep_count / 3.0, 1.0),
+                ones * jnp.minimum(state.rep_count / 3.0, 1.0).astype(dt),
             ]
         )
 

@@ -621,15 +621,18 @@ class GoEnv:
         """Enhanced 8-plane tensor (go_state.cpp:380-445): [me, opp,
         black-to-move, my-group-liberties/10, opp-group-liberties/10,
         ko plane, 2x border-distance]."""
+        # bf16 planes: consumers cast to bf16 anyway; halves obs HBM
+        # traffic on the leaf-eval hot path (see games/gomoku.observation).
+        dt = jnp.bfloat16
         n = self.board_size
         size = n * n
         board = state.board
         me_val = state.to_play.astype(jnp.int8)
-        me = (board == me_val).astype(jnp.float32)
-        opp = (board == (1 - me_val)).astype(jnp.float32)
-        black_to_move = jnp.full((n, n), 1.0, jnp.float32) * (
+        me = (board == me_val).astype(dt)
+        opp = (board == (1 - me_val)).astype(dt)
+        black_to_move = jnp.full((n, n), 1.0, dt) * (
             state.to_play == 0
-        ).astype(jnp.float32)
+        ).astype(dt)
 
         empty = board == -1
 
@@ -637,7 +640,7 @@ class GoEnv:
 
         def lib_plane(stats):
             libs = stats.libs.reshape(n, n)
-            return jnp.clip(libs.astype(jnp.float32) / 10.0, 0.0, 1.0)
+            return jnp.clip(libs.astype(dt) / 10.0, 0.0, 1.0)
 
         libs_me = jnp.where(
             state.to_play == 0, lib_plane(stats_b), lib_plane(stats_w)
@@ -648,9 +651,9 @@ class GoEnv:
 
         ko_plane = (
             jnp.arange(size).reshape(n, n) == state.ko_point
-        ).astype(jnp.float32)
+        ).astype(dt)
 
-        rows = jnp.arange(n, dtype=jnp.float32)
+        rows = jnp.arange(n, dtype=dt)
         dist = jnp.minimum(rows, rows[::-1]) / jnp.maximum((n - 1) / 2, 1)
         border_r = jnp.broadcast_to(dist[:, None], (n, n))
         border_c = jnp.broadcast_to(dist[None, :], (n, n))

@@ -243,7 +243,7 @@ def forward_int8_from_q(qp, xq):
 # --------------------------------------------------------------------------
 # public entry
 
-def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 1024):
+def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512):
     """BN-fold, calibrate and quantize ``model`` into an int8 EvalFn.
 
     ``calib_obs``: observation array(s) for activation-range calibration;
@@ -254,9 +254,10 @@ def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 1024):
     Measured on v5e (tools/profile_int8_fwd.py): per-sample cost degrades
     super-linearly past ~1024 — the SE/residual/requant elementwise chain
     and the heads fall out of the conv fusions (B=4096: SE 0->2.2 ms,
-    heads 0.12->0.84 ms) while the pure conv chain stays linear.  Chunking
-    keeps every chunk on the B=1024 fusion profile: 4x1.13 ms vs 7.5 ms
-    monolithic at 4096."""
+    heads 0.12->0.84 ms) while the pure conv chain stays linear.  The
+    full-bench chunk sweep at the 15x15 trunk shape measured (moves/s):
+    512: 849, 1024: 821, 256: 826, 128: 820, 2048: 32 — 512 is the
+    optimum and the default."""
     fp = extract_folded(model, variables)
     if calib_obs is None:
         obs_shape = _infer_obs_shape(model, variables)

@@ -70,7 +70,8 @@ def main():
             jax.vmap(lambda _: env.init())(jnp.arange(8))
         )
         # BENCH_CHUNK: lax.map chunk for the NN leaf batch (0 = monolithic).
-        chunk = int(os.environ.get("BENCH_CHUNK", "1024"))
+        # Sweep at B=1024/W=16: 512: 849, 1024: 821, 256: 826, 2048: 32.
+        chunk = int(os.environ.get("BENCH_CHUNK", "512"))
         eval_fn = make_int8_eval_fn(model, params, calib_obs=calib,
                                     chunk=chunk or None)
     else:

@@ -21,11 +21,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 # Persistent compile cache: the chess legality graph takes ~45s to compile;
-# cache it across test runs.  The threshold is deliberately high: at 5s the
-# cache also captured the pipeline's sharded+donated host-actor executables,
-# whose XLA:CPU serialization is pathological (minutes-long hangs, and
-# aborts on the truncated entries earlier killed runs left behind) —
-# test_pipeline crashed with "Fatal Python error: Aborted" until only the
-# long-compile chess graphs were eligible.
+# cache it across test runs.  Threshold 30s so only those few long-compile
+# graphs are serialized — at 5s the cache wrote out dozens of mid-size
+# sharded executables, a meaningful extra CPU cost per compile on this
+# 2-core CI host (where any sustained core contention can push XLA:CPU's
+# hardcoded 40s collective-rendezvous deadline into aborts; see
+# tests/test_pipeline.py docstring).
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 30.0)

@@ -1,16 +1,38 @@
 """End-to-end pipeline smoke tests: actor -> replay -> learner + orbax
-checkpoint round-trip (reference integration-test analog, SURVEY.md §4)."""
-import numpy as np
-import pytest
+checkpoint round-trip (reference integration-test analog, SURVEY.md §4).
 
+Each scenario runs in a SUBPROCESS on a 4-virtual-device CPU mesh.  Root
+cause of the old in-process flakiness: XLA:CPU cross-device collectives
+use a rendezvous with a HARDCODED 40s termination timeout
+(xla/.../rendezvous.cc "Expected N threads to join ... Exiting to ensure a
+consistent program state" -> CHECK-fail -> SIGABRT, which faulthandler
+reports as a bare "Fatal Python error: Aborted").  On a small host (this
+CI box has 2 cores) an 8-party all-reduce misses that deadline whenever
+anything else — another test's 45s chess-legality compile, a concurrent
+bench — competes for the cores, killing the whole pytest process.  The
+subprocess contains the blast radius (a readable error instead of a dead
+suite) and 4 devices halve the rendezvous width; full 8-device Pipeline
+coverage still runs in the driver's dryrun_multichip outside pytest.
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PRELUDE = """
+import sys
+sys.path.insert(0, {repo!r})
 import jax
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+from pathlib import Path
 from alphazero_tpu.mcts.search import MCTSConfig
 from alphazero_tpu.models.resnet import ResNetConfig
 from alphazero_tpu.selfplay.actor import SelfPlayConfig
 from alphazero_tpu.training.learner import LearnerConfig
 from alphazero_tpu.training.pipeline import Pipeline, PipelineConfig
-
 
 def tiny_config(tmp_path, **kw):
     defaults = dict(
@@ -31,47 +53,76 @@ def tiny_config(tmp_path, **kw):
         train_batch_size=32,
         replay_capacity=4096,
         min_replay_before_training=32,
-        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_dir=str(Path(tmp_path) / "ckpt"),
         checkpoint_every=1,
     )
     defaults.update(kw)
     return PipelineConfig(**defaults)
+"""
+
+
+def run_pipeline_script(body: str, tmp_path) -> None:
+    """Run a pipeline scenario in a fresh interpreter on the 8-device CPU
+    backend; assertions inside ``body`` surface as non-zero exit."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # 4 devices, overriding the suite-wide 8: see module docstring.
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=4"]
+    )
+    script = _PRELUDE.format(repo=REPO) + body.format(tmp=str(tmp_path))
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, (
+        f"pipeline subprocess failed (rc={proc.returncode}):\n"
+        f"{proc.stdout[-1000:]}\n{proc.stderr[-3000:]}"
+    )
 
 
 class TestPipeline:
     def test_two_iterations_train(self, tmp_path):
-        pipe = Pipeline(tiny_config(tmp_path))
-        e1 = pipe.run_iteration(0)
-        assert e1["moves"] > 0
-        assert e1["replay_size"] > 0
-        e2 = pipe.run_iteration(1)
-        assert "loss" in e2  # enough replay to train by iteration 2
-        # Trains 4 steps per iteration once the buffer floor is crossed.
-        assert int(pipe.state.step) in (4, 8)
+        run_pipeline_script("""
+pipe = Pipeline(tiny_config({tmp!r}))
+e1 = pipe.run_iteration(0)
+assert e1["moves"] > 0, e1
+assert e1["replay_size"] > 0, e1
+e2 = pipe.run_iteration(1)
+assert "loss" in e2, e2  # enough replay to train by iteration 2
+# Trains 4 steps per iteration once the buffer floor is crossed.
+assert int(pipe.state.step) in (4, 8), int(pipe.state.step)
+""", tmp_path)
 
     def test_checkpoint_roundtrip(self, tmp_path):
-        pipe = Pipeline(tiny_config(tmp_path))
-        pipe.run_iteration(0)
-        pipe.run_iteration(1)
-        pipe.save_checkpoint(1)
+        run_pipeline_script("""
+import numpy as np
+import jax
+pipe = Pipeline(tiny_config({tmp!r}))
+pipe.run_iteration(0)
+pipe.run_iteration(1)
+pipe.save_checkpoint(1)
 
-        pipe2 = Pipeline(tiny_config(tmp_path))
-        step = pipe2.restore_checkpoint()
-        assert step == 1
-        assert int(pipe2.state.step) == int(pipe.state.step)
-        p1 = jax.tree_util.tree_leaves(pipe.state.params)
-        p2 = jax.tree_util.tree_leaves(pipe2.state.params)
-        for a, b in zip(p1, p2):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+pipe2 = Pipeline(tiny_config({tmp!r}))
+step = pipe2.restore_checkpoint()
+assert step == 1, step
+assert int(pipe2.state.step) == int(pipe.state.step)
+p1 = jax.tree_util.tree_leaves(pipe.state.params)
+p2 = jax.tree_util.tree_leaves(pipe2.state.params)
+for a, b in zip(p1, p2):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+""", tmp_path)
 
     def test_history_written(self, tmp_path):
-        cfg = tiny_config(tmp_path)
-        pipe = Pipeline(cfg)
-        pipe.run(iterations=1)
-        import json
-        import os
-
-        path = os.path.join(cfg.checkpoint_dir, "history.json")
-        with open(path) as f:
-            hist = json.load(f)
-        assert len(hist) == 1
+        run_pipeline_script("""
+import json, os
+cfg = tiny_config({tmp!r})
+pipe = Pipeline(cfg)
+pipe.run(iterations=1)
+path = os.path.join(cfg.checkpoint_dir, "history.json")
+with open(path) as f:
+    hist = json.load(f)
+assert len(hist) == 1, hist
+""", tmp_path)
