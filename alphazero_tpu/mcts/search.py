@@ -256,6 +256,22 @@ def masked_softmax(logits: jax.Array, legal: jax.Array) -> jax.Array:
     return jnp.where(total > 0, p / jnp.maximum(total, 1e-30), uniform)
 
 
+def _topk_masked_prior(logits: jax.Array, legal: jax.Array, K: int):
+    """Top-K prior slots without materializing the full softmax.
+
+    Softmax is monotone per row, so the top-K actions of the masked prior
+    are the top-K of the masked logits; their probabilities are recovered
+    with one logsumexp.  Rows with no legal action (terminal leaves) get
+    all-zero slot priors — identical to ``masked_softmax``'s output there.
+    Returns (topv f32 [B,K], topa i32 [B,K])."""
+    neg = jnp.float32(-1e30)
+    masked = jnp.where(legal, logits.astype(jnp.float32), neg)
+    topl, topa = jax.lax.approx_max_k(masked, K)
+    lse = jax.nn.logsumexp(masked, axis=-1, keepdims=True)
+    topv = jnp.where(topl > 0.5 * neg, jnp.exp(topl - lse), 0.0)
+    return topv, topa
+
+
 def _onehot(idx: jax.Array, n: int, dtype=jnp.bfloat16) -> jax.Array:
     """[B] -> [B, n] one-hot — the TPU-friendly dynamic-access primitive."""
     return (
@@ -1131,8 +1147,10 @@ def _simulate_wave(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
     child_to_play = jax.vmap(env.to_play)(child_state)
     logits, value = eval_fn(obs, child_to_play)
     legal = jax.vmap(env.legal_mask)(child_state)
-    full_prior = masked_softmax(logits, legal)
-    topv, topa = jax.lax.approx_max_k(full_prior, K)
+    # Top-K straight from the masked logits (softmax is monotone per row),
+    # then reconstruct the K probabilities from one logsumexp — avoids
+    # materializing the full [B*W, A] softmax just to keep K of its values.
+    topv, topa = _topk_masked_prior(logits, legal, K)
     topa = topa.astype(jnp.int32)
     child_term = jax.vmap(env.terminal_flag)(child_state)
     child_winner = jax.vmap(env.winner)(child_state)

@@ -84,13 +84,17 @@ def _conv_bf16(x, w):
     return y + w["bias"].astype(jnp.bfloat16)
 
 
+def _se_gate_from_mean(s, se1, se2):
+    s = jax.nn.relu(s @ se1["kernel"].astype(s.dtype)
+                    + se1["bias"].astype(s.dtype))
+    return jax.nn.sigmoid(s @ se2["kernel"].astype(s.dtype)
+                          + se2["bias"].astype(s.dtype))
+
+
 def _se_gate(h, se1, se2):
-    s = jnp.mean(h, axis=(1, 2))
-    s = jax.nn.relu(s @ se1["kernel"].astype(h.dtype)
-                    + se1["bias"].astype(h.dtype))
-    s = jax.nn.sigmoid(s @ se2["kernel"].astype(h.dtype)
-                       + se2["bias"].astype(h.dtype))
-    return s[:, None, None, :]
+    return _se_gate_from_mean(
+        jnp.mean(h, axis=(1, 2)), se1, se2
+    )[:, None, None, :]
 
 
 def _heads(fp, x):
@@ -206,6 +210,48 @@ def _conv_i8(xq, wq):
     )
 
 
+def _tap_sums(xq):
+    """[B,9,C] i32 tap sums of an s8 NHWC input: ``T[ky*3+kx]`` is the sum
+    of the input cells a SAME-padded 3x3 conv tap ``(ky, kx)`` touches over
+    ALL output positions.  Output position p reads input row ``p + ky - 1``,
+    so tap (ky, kx) covers every cell except one border row/column —
+    inclusion-exclusion over (total, border rows/cols, corners)."""
+    x = xq.astype(jnp.int32)
+    total = x.sum((1, 2))  # [B,C]
+    r0, rl = x[:, 0].sum(1), x[:, -1].sum(1)
+    c0, cl = x[:, :, 0].sum(1), x[:, :, -1].sum(1)
+    zero = jnp.zeros_like(total)
+    row_sub = (rl, zero, r0)  # ky=0 never reads the last input row, etc.
+    col_sub = (cl, zero, c0)
+    corner = {(0, 0): x[:, -1, -1], (0, 2): x[:, -1, 0],
+              (2, 0): x[:, 0, -1], (2, 2): x[:, 0, 0]}
+    taps = [total - row_sub[ky] - col_sub[kx] + corner.get((ky, kx), zero)
+            for ky in range(3) for kx in range(3)]
+    return jnp.stack(taps, axis=1)
+
+
+def _se_gate_precomputed(hq, blk):
+    """SE gate [B,1,1,O] computed from the QUANTIZED conv2 input.
+
+    ``mean_hw(conv2(h))`` is a linear functional of the input: with SAME
+    padding it equals ``sum_taps K[tap]^T . tap_sum(h) / HW`` — nine tiny
+    [C]x[C,O] contractions on i32 tap sums instead of a reduction over the
+    materialized [B,H,W,O] conv output.  This breaks the data dependency
+    gate <- conv2-output, so XLA fuses conv2's requant + SE scale +
+    residual + re-quant into ONE epilogue pass (the separate bf16
+    materialize-and-reduce was 13% of self-play device time; BENCHLOG
+    round 2).  Also slightly *more* exact than the bf16 mean it replaces
+    (i32 tap sums are exact; the f32 contraction rounds once)."""
+    hw = hq.shape[1] * hq.shape[2]
+    taps = _tap_sums(hq).astype(jnp.float32)  # [B,9,C]
+    wq2 = blk["wq2"].astype(jnp.float32).reshape(9, *blk["wq2"].shape[2:])
+    s = jnp.einsum("btc,tco->bo", taps, wq2,
+                   preferred_element_type=jnp.float32)
+    mean = (s * blk["m2"]) / hw + blk["b2"]  # == mean_hw(h2), [B,O]
+    g = _se_gate_from_mean(mean.astype(jnp.bfloat16), blk["se1"], blk["se2"])
+    return g[:, None, None, :]
+
+
 def _quant_act(a, scale):
     """bf16 activation -> int8 with symmetric scale."""
     q = jnp.round(a.astype(jnp.float32) * (127.0 / scale))
@@ -232,9 +278,12 @@ def forward_int8_from_q(qp, xq):
         h = (_conv_i8(aq, blk["wq1"]).astype(jnp.float32) * blk["m1"]
              + blk["b1"])
         hq = _quant_act(jax.nn.relu(h), blk["mid_scale"])
+        # Gate from tap sums of hq — available BEFORE conv2 runs, so the
+        # requant/SE/residual/quant below fuse into conv2's epilogue.
+        g = _se_gate_precomputed(hq, blk)
         h2 = (_conv_i8(hq, blk["wq2"]).astype(jnp.float32) * blk["m2"]
               + blk["b2"]).astype(jnp.bfloat16)
-        a = jax.nn.relu(a + h2 * _se_gate(h2, blk["se1"], blk["se2"]))
+        a = jax.nn.relu(a + h2 * g)
         aq = _quant_act(a, blk["out_scale"])
 
     return _heads(qp, a)

@@ -67,3 +67,22 @@ class TestQuant:
         assert logits.shape == (4, 49)
         assert value.shape == (4,)
         assert np.isfinite(np.asarray(logits)).all()
+
+    def test_tap_sum_se_mean_identity(self):
+        # mean_hw(SAME conv(x)) == sum_taps K[tap]^T . tap_sum(x) / HW —
+        # the algebraic identity _se_gate_precomputed relies on.
+        from alphazero_tpu.models.quant import _conv_i8, _tap_sums
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(
+            rng.integers(-127, 128, (4, 7, 9, 16)), jnp.int8
+        )
+        w = jnp.asarray(rng.integers(-127, 128, (3, 3, 16, 8)), jnp.int8)
+        direct = _conv_i8(x, w).astype(jnp.float32).mean((1, 2))
+        taps = _tap_sums(x).astype(jnp.float32)
+        via_taps = jnp.einsum(
+            "btc,tco->bo", taps, w.astype(jnp.float32).reshape(9, 16, 8)
+        ) / (7 * 9)
+        np.testing.assert_allclose(
+            np.asarray(direct), np.asarray(via_taps), rtol=1e-5, atol=1e-4
+        )
