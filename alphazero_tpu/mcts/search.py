@@ -872,8 +872,11 @@ class _WaveSelect(NamedTuple):
     root_action: jax.Array  # i32 [B, W]
     leaf_terminal: jax.Array  # bool [B, W]
     oh_leaves: jax.Array  # bf16 [B, W, N]
-    mask_even: jax.Array  # f32 [B, W, N]
-    mask_odd: jax.Array  # f32 [B, W, N]
+    # Signed path mask: +1 at even-depth path nodes (incl. root), -1 at
+    # odd-depth ones, 0 off-path.  One walker visits a node at most once,
+    # so entries stay in {-1, 0, +1} — exact in bf16, half the carry bytes
+    # of the two f32 masks it replaces (round 3).
+    mask_signed: jax.Array  # bf16 [B, W, N]
     length: jax.Array  # i32 [B, W]
 
 
@@ -883,8 +886,7 @@ class _WaveCarry(NamedTuple):
     done: jax.Array
     leaf_terminal: jax.Array
     oh_node: jax.Array
-    mask_even: jax.Array
-    mask_odd: jax.Array
+    mask_signed: jax.Array
     length: jax.Array
     depth: jax.Array
 
@@ -936,9 +938,10 @@ def _select_wave(tree: Tree, config: MCTSConfig, W: int) -> _WaveSelect:
     oh_node = (
         node[:, :, None] == jnp.arange(N, dtype=jnp.int32)[None, None]
     ).astype(jnp.bfloat16)
-    root_oh = jnp.zeros((B, W, N), jnp.float32).at[:, :, 0].set(1.0)
-    mask_odd = jnp.where(done0[:, :, None], 0.0,
-                         oh_node.astype(jnp.float32))
+    root_oh = jnp.zeros((B, W, N), jnp.bfloat16).at[:, :, 0].set(1.0)
+    mask_signed = root_oh - jnp.where(
+        done0[:, :, None], jnp.bfloat16(0.0), oh_node
+    )
 
     init = _WaveCarry(
         node=node,
@@ -946,8 +949,7 @@ def _select_wave(tree: Tree, config: MCTSConfig, W: int) -> _WaveSelect:
         done=done0,
         leaf_terminal=jnp.broadcast_to(root_term[:, None], (B, W)),
         oh_node=oh_node,
-        mask_even=root_oh,
-        mask_odd=mask_odd,
+        mask_signed=mask_signed,
         length=jnp.where(done0, 0, 1).astype(jnp.int32),
         depth=jnp.ones((), jnp.int32),
     )
@@ -1024,8 +1026,9 @@ def _select_wave(tree: Tree, config: MCTSConfig, W: int) -> _WaveSelect:
             == jnp.arange(N, dtype=jnp.int32)[None, None]
         ).astype(jnp.bfloat16)
         parity_even = (c.depth + 1) % 2 == 0
-        add = jnp.where(advance[:, :, None],
-                        new_oh.astype(jnp.float32), 0.0)
+        sign = jnp.where(parity_even, jnp.bfloat16(1.0), jnp.bfloat16(-1.0))
+        add = jnp.where(advance[:, :, None], new_oh * sign,
+                        jnp.bfloat16(0.0))
 
         return _WaveCarry(
             node=new_node,
@@ -1033,8 +1036,7 @@ def _select_wave(tree: Tree, config: MCTSConfig, W: int) -> _WaveSelect:
             done=c.done | (~c.done & term_here) | stop_expand,
             leaf_terminal=c.leaf_terminal | (~c.done & term_here),
             oh_node=jnp.where(advance[:, :, None], new_oh, c.oh_node),
-            mask_even=c.mask_even + jnp.where(parity_even, add, 0.0),
-            mask_odd=c.mask_odd + jnp.where(parity_even, 0.0, add),
+            mask_signed=c.mask_signed + add,
             length=jnp.where(advance, c.length + 1, c.length),
             depth=c.depth + 1,
         )
@@ -1058,8 +1060,7 @@ def _select_wave(tree: Tree, config: MCTSConfig, W: int) -> _WaveSelect:
         root_action=root_action,
         leaf_terminal=out.leaf_terminal,
         oh_leaves=out.oh_node,
-        mask_even=out.mask_even,
-        mask_odd=out.mask_odd,
+        mask_signed=out.mask_signed,
         length=out.length,
     )
 
@@ -1230,9 +1231,13 @@ def _simulate_wave(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
     L = lengths + expand0.astype(jnp.int32)  # backprop start depth
     l_even = L % 2 == 0
     sgn = jnp.where(l_even, leaf_val, -leaf_val)  # f32 [B, W]
-    vis_add = (sel.mask_even + sel.mask_odd).sum(axis=1)
-    val_add = jnp.einsum("bwn,bw->bn", sel.mask_even, sgn) \
-        - jnp.einsum("bwn,bw->bn", sel.mask_odd, sgn)
+    # Signed mask: ±1 on the path by depth parity, so
+    #   value_add = Σ_w sgn_w · mask_w   and   visit_add = Σ_w |mask_w|.
+    vis_add = jnp.sum(
+        jnp.abs(sel.mask_signed), axis=1, dtype=jnp.float32
+    )
+    val_add = jnp.einsum("bwn,bw->bn", sel.mask_signed, sgn,
+                         preferred_element_type=jnp.float32)
     visits = tree.visits + vis_add.astype(jnp.int32)
     value_sum = tree.value_sum + val_add
 

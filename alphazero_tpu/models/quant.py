@@ -268,23 +268,36 @@ def forward_int8(qp, obs):
 def forward_int8_from_q(qp, xq):
     """Quantized forward from pre-quantized NHWC s8 input (the chunked
     eval path quantizes ONCE over the whole leaf batch before lax.map, so
-    the f32 obs isn't re-read/transposed per chunk)."""
+    the f32 obs isn't re-read/transposed per chunk).
+
+    The ``optimization_barrier`` on each quantized activation pins ONE s8
+    materialization point: without it, XLA duplicates the requant into each
+    consumer (conv2 + the SE tap sums both read ``hq``) and keeps the raw
+    s32 conv accumulator [chunk,15,15,64] alive as the shared value — a
+    29.5 MB/chunk write measured at 36 us/conv in the round-3 trace (the
+    conv fusions emitted (s32, s8) tuples).  With the barrier the s32
+    stays inside the conv's fused epilogue."""
     st = qp["stem"]
     y = _conv_i8(xq, st["wq"]).astype(jnp.float32) * st["m"] + st["bias"]
     a = jax.nn.relu(y).astype(jnp.bfloat16)  # stem out (bf16 master copy)
-    aq = _quant_act(a, st["out_scale"])
+    a, aq = jax.lax.optimization_barrier(
+        (a, _quant_act(a, st["out_scale"]))
+    )
 
     for blk in qp["blocks"]:
         h = (_conv_i8(aq, blk["wq1"]).astype(jnp.float32) * blk["m1"]
              + blk["b1"])
         hq = _quant_act(jax.nn.relu(h), blk["mid_scale"])
+        hq = jax.lax.optimization_barrier(hq)
         # Gate from tap sums of hq — available BEFORE conv2 runs, so the
         # requant/SE/residual/quant below fuse into conv2's epilogue.
         g = _se_gate_precomputed(hq, blk)
         h2 = (_conv_i8(hq, blk["wq2"]).astype(jnp.float32) * blk["m2"]
               + blk["b2"]).astype(jnp.bfloat16)
         a = jax.nn.relu(a + h2 * g)
-        aq = _quant_act(a, blk["out_scale"])
+        a, aq = jax.lax.optimization_barrier(
+            (a, _quant_act(a, blk["out_scale"]))
+        )
 
     return _heads(qp, a)
 
