@@ -864,3 +864,9 @@ class ChessEnv:
 
     def winner(self, state: ChessState) -> jax.Array:
         return state.winner
+
+    def position_hash(self, state: ChessState) -> jax.Array:
+        """u32 [2] situational Zobrist key (board + castling + en passant +
+        side to move) — the transposition-table identity (reference
+        ``getHash``)."""
+        return state.hash

@@ -292,8 +292,13 @@ class GoEnv:
 
     @functools.cached_property
     def zobrist(self) -> zobrist.ZobristTable:
+        s = self.board_size * self.board_size
+        # feature 0 = ko point (cardinality S+1; value S = "no ko"), used
+        # only by position_hash — the superko history ring keys (piece/
+        # player tables) are unchanged by its presence.
         return zobrist.ZobristTable(
-            num_pieces=2, num_positions=self.board_size * self.board_size
+            num_pieces=2, num_positions=s,
+            num_features=1, feature_cardinality=s + 1,
         )
 
     # ---- hashing (additive, two independent u32 lanes) -------------------
@@ -746,3 +751,18 @@ class GoEnv:
 
     def winner(self, state: GoState) -> jax.Array:
         return state.winner
+
+    def position_hash(self, state: GoState) -> jax.Array:
+        """u32 [2] situational Zobrist key: stones + side to move + ko
+        point — the transposition-table identity (the reference's Go
+        ``getHash`` likewise mixes board, player and ko,
+        ``go_state.cpp`` hashing).  Additive u32 semantics match the
+        board hash; the ko contribution uses the feature table (slot 0,
+        cardinality S+1; value S = "no ko")."""
+        s = self.board_size * self.board_size
+        ko = jnp.where(state.ko_point >= 0, state.ko_point, s)
+        return (
+            state.board_hash
+            + self.zobrist.player_key(state.to_play)
+            + self.zobrist.feature_key(0, ko)
+        )

@@ -507,3 +507,9 @@ class GomokuEnv:
 
     def winner(self, state: GomokuState) -> jax.Array:
         return state.winner
+
+    def position_hash(self, state: GomokuState) -> jax.Array:
+        """u32 [2] situational Zobrist key (board + side to move) — the
+        transposition-table identity (reference ``getHash``,
+        ``gomoku_state.cpp:620``)."""
+        return state.hash

@@ -40,7 +40,7 @@ def search_info(tree, game_index: int = 0) -> Dict:
         if parent[i] >= 0:
             depth[i] = depth[parent[i]] + 1
     root_v = float(tree.value_sum[game_index, 0] / max(visits[0], 1))
-    return {
+    info = {
         "nodes": int(used.sum()),
         "root_visits": int(visits[0]),
         "root_value": round(root_v, 4),
@@ -48,6 +48,16 @@ def search_info(tree, game_index: int = 0) -> Dict:
         "mean_depth": round(float(depth[used].mean()), 2) if used.any()
         else 0.0,
     }
+    if getattr(tree, "tt", None) is not None:
+        # Reference getSearchInfo's TT hit-rate block
+        # (parallel_mcts.cpp:1319-1388).
+        hits = int(tree.tt.hits[game_index])
+        stores = int(tree.tt.stores[game_index])
+        lookups = hits + stores  # canonical expansions (hit or stored)
+        info["tt_hits"] = hits
+        info["tt_stores"] = stores
+        info["tt_hit_rate"] = round(hits / lookups, 4) if lookups else 0.0
+    return info
 
 
 def to_dot(tree, game_index: int = 0, max_nodes: int = 50,
@@ -56,9 +66,8 @@ def to_dot(tree, game_index: int = 0, max_nodes: int = 50,
     visits = np.asarray(tree.visits[game_index])
     values = np.asarray(tree.value_sum[game_index])
     parent = np.asarray(tree.parent[game_index])
-    meta = np.asarray(tree.cmeta[game_index])  # [N, K] packed
-    cchild = (meta // 8192).astype(int) - 1
-    caction = (meta % 8192).astype(int) - 1
+    cchild = np.asarray(tree.cchild[game_index], dtype=np.float32).astype(int)
+    caction = np.asarray(tree.caction[game_index]).astype(int)
     root_child = np.asarray(tree.root_child[game_index])  # [A]
 
     order = np.argsort(-visits)

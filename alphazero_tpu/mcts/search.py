@@ -165,6 +165,20 @@ class MCTSConfig:
     # Re-noise cadence for the reused root (reference re-injects Dirichlet
     # every 2 moves on the kept tree, self_play_manager.cpp:209-211).
     renoise_every: int = 2
+    # Transposition table (reference TranspositionTable,
+    # include/alphazero/mcts/transposition_table.h:23-292 — fixed
+    # power-of-2 entry array keyed by the position's Zobrist hash, storing
+    # (policy, value); ParallelMCTS consults it before the NN eval,
+    # parallel_mcts.cpp:835-917).  TPU rendition: per-lane direct-mapped
+    # arrays [B, tt_size] carried in the Tree; at expansion each leaf's
+    # ``env.position_hash`` is looked up, and a full-key match substitutes
+    # the cached (top-K prior, value) for the fresh NN output; misses store
+    # ALWAYS-replace entries (the reference default policy).  The NN batch
+    # still runs — in lockstep SPMD the TT cannot buy throughput, it buys
+    # the reference's cross-path eval-reuse semantics (hits matter when the
+    # evaluator is stochastic or params moved between stores) and its
+    # hit-rate accounting.  0 = off (default; ~3% step cost when on).
+    tt_size: int = 0
     # Simulation waves: W virtual-loss PUCT descents per dispatched step,
     # then ONE batched eval/install/backprop over the W leaves — the
     # reference's BATCHED self-play mode (self_play_manager.cpp:166-175
@@ -221,6 +235,7 @@ class Tree:
     cchild: jax.Array  # f16 [B, N, K]; -1 = unexpanded, -2 = pad
     caction: jax.Array  # f32 [B, N, K]; env action per slot, -1 pad
     states: Any  # env-state pytree, einsum-packed (see _pack_state)
+    tt: Any = None  # TTable when config.tt_size > 0
 
     @property
     def batch_size(self) -> int:
@@ -233,6 +248,125 @@ class Tree:
     @property
     def num_actions(self) -> int:
         return self.root_prior.shape[-1]
+
+
+@struct.dataclass
+class TTable:
+    """Per-lane direct-mapped transposition table (see MCTSConfig.tt_size).
+
+    Keys are the 64-bit position hash split into four exact 16-bit f32
+    halves so lookups/stores run as one-hot einsum contractions (int
+    gathers would serialize into per-lane DMAs).  ``topv``/``topa`` cache
+    the stored position's top-K prior slots — the array analog of the
+    reference entry's policy vector (transposition_table.h:30-60)."""
+
+    key: jax.Array  # f32 [B, S, 4] 16-bit hash halves
+    valid: jax.Array  # f32 [B, S] 0/1 occupancy
+    value: jax.Array  # f32 [B, S] cached leaf value (to-play perspective)
+    topv: jax.Array  # bf16 [B, S, K] cached top-K prior probabilities
+    topa: jax.Array  # f32 [B, S, K] cached top-K env actions
+    hits: jax.Array  # i32 [B] lookup hits (reference TT hit-rate stats)
+    stores: jax.Array  # i32 [B]
+
+
+def _tt_init(B: int, S: int, K: int) -> TTable:
+    return TTable(
+        key=jnp.zeros((B, S, 4), jnp.float32),
+        valid=jnp.zeros((B, S), jnp.float32),
+        value=jnp.zeros((B, S), jnp.float32),
+        topv=jnp.zeros((B, S, K), jnp.bfloat16),
+        topa=jnp.full((B, S, K), -1.0, jnp.float32),
+        hits=jnp.zeros((B,), jnp.int32),
+        stores=jnp.zeros((B,), jnp.int32),
+    )
+
+
+def _hash_halves(h: jax.Array) -> jax.Array:
+    """u32 [..., 2] -> f32 [..., 4] exact 16-bit halves."""
+    m = jnp.uint32(0xFFFF)
+    return jnp.stack(
+        [(h[..., 0] >> 16).astype(jnp.float32),
+         (h[..., 0] & m).astype(jnp.float32),
+         (h[..., 1] >> 16).astype(jnp.float32),
+         (h[..., 1] & m).astype(jnp.float32)],
+        axis=-1,
+    )
+
+
+def _tt_process(
+    tt: TTable,
+    h: jax.Array,  # u32 [B, W, 2] leaf position hashes
+    lookup_elig: jax.Array,  # bool [B, W] expanding non-terminal walkers
+    store_elig: jax.Array,  # bool [B, W] canonical subset of the above
+    value: jax.Array,  # f32 [B, W] NN value
+    topv: jax.Array,  # [B, W, K] NN top-K prior
+    topa: jax.Array,  # i32 [B, W, K] NN top-K actions
+):
+    """Lookup-then-store against the per-lane table (reference
+    evaluateState's TT consult + store, parallel_mcts.cpp:835-917).
+    Returns (tt', value', topv', topa', hit).  All index-carrying
+    contractions run at Precision.HIGHEST (values exceed bf16-exact
+    range); everything is one pass per wave, off the descent hot loop."""
+    B, W = value.shape
+    S = tt.valid.shape[1]
+    halves = _hash_halves(h)  # f32 [B, W, 4]
+    idx = (h[..., 1] & jnp.uint32(S - 1)).astype(jnp.int32)  # [B, W]
+    oh = (
+        idx[:, :, None] == jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.bfloat16)  # [B, W, S]
+
+    key_row = jnp.einsum("bws,bsx->bwx", oh, tt.key,
+                         preferred_element_type=jnp.float32, precision=_HI)
+    valid_row = jnp.einsum("bws,bs->bw", oh, tt.valid,
+                           preferred_element_type=jnp.float32)
+    hit = lookup_elig & (valid_row > 0.5) & jnp.all(key_row == halves, -1)
+    val_row = jnp.einsum("bws,bs->bw", oh, tt.value,
+                         preferred_element_type=jnp.float32, precision=_HI)
+    topv_row = jnp.einsum("bws,bsk->bwk", oh, tt.topv,
+                          preferred_element_type=jnp.float32)
+    topa_row = jnp.einsum("bws,bsk->bwk", oh, tt.topa,
+                          preferred_element_type=jnp.float32, precision=_HI)
+
+    value2 = jnp.where(hit, val_row, value)
+    topv2 = jnp.where(hit[..., None], topv_row.astype(topv.dtype), topv)
+    topa2 = jnp.where(hit[..., None],
+                      jnp.round(topa_row).astype(jnp.int32), topa)
+
+    # Store on miss, ALWAYS-replace (reference default policy); first
+    # writer per slot wins within the wave so each slot receives at most
+    # one entry and the scatter einsums below are exact single-term sums.
+    want = store_elig & ~hit
+    wrange = jnp.arange(W, dtype=jnp.int32)
+    dup = (
+        (idx[:, :, None] == idx[:, None, :])
+        & want[:, :, None] & want[:, None, :]
+        & (wrange[None, :, None] > wrange[None, None, :])
+    )
+    store = want & ~jnp.any(dup, axis=2)
+    ohs = oh * store[:, :, None].astype(oh.dtype)  # [B, W, S]
+    written = jnp.einsum("bws->bs", ohs.astype(jnp.float32))
+    new_key = jnp.einsum("bws,bwx->bsx", ohs, halves, precision=_HI,
+                         preferred_element_type=jnp.float32)
+    new_val = jnp.einsum("bws,bw->bs", ohs, value, precision=_HI,
+                         preferred_element_type=jnp.float32)
+    new_topv = jnp.einsum("bws,bwk->bsk", ohs,
+                          topv.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+    new_topa = jnp.einsum("bws,bwk->bsk", ohs, topa.astype(jnp.float32),
+                          precision=_HI,
+                          preferred_element_type=jnp.float32)
+    wmask = written > 0.5
+    tt = tt.replace(
+        key=jnp.where(wmask[..., None], new_key, tt.key),
+        valid=jnp.where(wmask, 1.0, tt.valid),
+        value=jnp.where(wmask, new_val, tt.value),
+        topv=jnp.where(wmask[..., None], new_topv.astype(jnp.bfloat16),
+                       tt.topv),
+        topa=jnp.where(wmask[..., None], new_topa, tt.topa),
+        hits=tt.hits + jnp.sum(hit, axis=1).astype(jnp.int32),
+        stores=tt.stores + jnp.sum(store, axis=1).astype(jnp.int32),
+    )
+    return tt, value2, topv2, topa2, hit
 
 
 class SearchOutput(NamedTuple):
@@ -317,10 +451,13 @@ def _radix_gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
     ~250 MB of traffic per level instead of ~1.7 GB, and it was the
     dominant engine cost at wave_size 16 (BENCHLOG round 2).
 
-    Exactness: stage 1 selects one column within each √N-block (every
+    Precision: stage 1 selects one column within each √N-block (every
     output element is a single table value, no summation), stage 2 selects
-    the block — values are read at bf16 precision, identical to the flat
-    one-hot path (the TPU f32 matmul default is a single bf16 pass)."""
+    the block — values are read at bf16 precision (batched einsums
+    truncate operands through bf16 at default precision).  Used ONLY for
+    PUCT child visit/value statistics, where a ±0.4% misread of counts
+    beyond 256 shifts exploration marginally; structural payloads
+    (pointers, states, hashes) use HIGHEST sweeps instead."""
     B, N, C = table.shape
     r2 = max(1, int(math.isqrt(N - 1)) + 1)  # ceil(sqrt(N))
     r1 = -(-N // r2)
@@ -379,7 +516,7 @@ def _puct(
 
 def instantiate_tree(
     env, root_states, root_logits, root_value, config: MCTSConfig, rng=None,
-    capacity: int | None = None,
+    capacity: int | None = None, tt: TTable | None = None,
 ) -> Tree:
     """Allocate arenas and install the evaluated root (with Dirichlet
     exploration noise when ``rng`` is given; reference ``addDirichletNoise``,
@@ -418,6 +555,14 @@ def instantiate_tree(
     tval = terminal_value(winner, to_play)
     root_v = jnp.where(term, tval, root_value)
 
+    if config.tt_size:
+        if config.tt_size & (config.tt_size - 1):
+            raise ValueError("tt_size must be a power of two")
+        if tt is None:
+            tt = _tt_init(B, config.tt_size, K)
+    else:
+        tt = None
+
     return Tree(
         root_prior=prior.astype(jnp.float32),
         root_child=jnp.full((B, A), -1, jnp.int32),
@@ -435,6 +580,7 @@ def instantiate_tree(
         cchild=jnp.full((B, N, K), -2.0, cdt),
         caction=jnp.full((B, N, K), -1.0, jnp.float32),
         states=states,
+        tt=tt,
     )
 
 
@@ -625,13 +771,14 @@ def _write_row(arr, new: jax.Array, values: jax.Array, keep: jax.Array):
 def _gather_leaf_states(states_packed, onehot_bf16, B, N):
     """One-hot gather of each lane's leaf row from the packed state arenas
     (all leaves already bf16/f32 — pure einsum sweeps, zero conversion
-    traffic)."""
+    traffic).  2-D one-hot contractions are EXACT at default precision on
+    both CPU and TPU (probed round 3: f32 12739 and f16 2045 payloads read
+    back bit-exact) — only the batched 3-D forms truncate through bf16 and
+    need Precision.HIGHEST (see _simulate_wave)."""
 
     def gather(x):
         flat = x.reshape(B, N, -1)
-        oh = onehot_bf16.astype(x.dtype) if x.dtype == jnp.bfloat16 \
-            else onehot_bf16
-        out = jnp.einsum("bn,bnx->bx", oh, flat,
+        out = jnp.einsum("bn,bnx->bx", onehot_bf16, flat,
                          preferred_element_type=jnp.float32)
         return out.reshape((B,) + x.shape[2:]).astype(x.dtype)
 
@@ -748,6 +895,16 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
     child_winner = jax.vmap(env.winner)(child_state)
     child_tval = terminal_value(child_winner, child_to_play)
 
+    # --- transposition table (W=1 shapes; see _simulate_wave) ---
+    tt = tree.tt
+    if config.tt_size:
+        h = jax.vmap(env.position_hash)(child_state)[:, None, :]
+        elig = (expand & ~child_term)[:, None]
+        tt, v1, tv1, ta1, _ = _tt_process(
+            tt, h, elig, elig, value[:, None], topv[:, None], topa[:, None],
+        )
+        value, topv, topa = v1[:, 0], tv1[:, 0], ta1[:, 0]
+
     # --- install the new node at arena slot `new` (scalar-index writes) ---
     states = jax.tree_util.tree_map(
         lambda arr, val: _write_row(arr, new, val, expand),
@@ -862,6 +1019,7 @@ def _simulate_once(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
         cchild=cchild,
         caction=caction,
         states=states,
+        tt=tt,
     )
 
 
@@ -970,11 +1128,16 @@ def _select_wave(tree: Tree, config: MCTSConfig, W: int) -> _WaveSelect:
             "bwn,bnk->bwk", oh, tree.prior,
             preferred_element_type=jnp.float32,
         )
-        cr_prec = (jax.lax.Precision.HIGHEST
-                   if tree.cchild.dtype == jnp.float32 else None)
+        # Pointer sweep MUST be HIGHEST: unlike the W=1 2-D sweeps (exact
+        # at default precision on both CPU and TPU), every BATCHED (3-D)
+        # einsum truncates its operands through bf16 at default precision
+        # — measured identically on XLA:CPU and v5e: f16 pointer 2045
+        # reads as 2048, f32 12739 as 12736 (round 3).  That silently
+        # corrupted wave-descent links beyond node 256.
         child_row = jnp.round(jnp.einsum(
             "bwn,bnk->bwk", oh, tree.cchild,
-            preferred_element_type=jnp.float32, precision=cr_prec,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )).astype(jnp.int32)
         cidx = jnp.maximum(child_row, 0).reshape(B, W * K)
         cstats = _radix_gather_rows(stats, cidx).reshape(B, W, K, 2)
@@ -982,10 +1145,14 @@ def _select_wave(tree: Tree, config: MCTSConfig, W: int) -> _WaveSelect:
         cv = jnp.where(has_child, cstats[..., 0], 0.0)
         cw = jnp.where(has_child, cstats[..., 1], 0.0)
 
+        # HIGHEST: 3-D einsums truncate through bf16 at default precision
+        # (see child_row above); node visits exceed 256 routinely.
         nv = jnp.einsum("bwn,bn->bw", oh, visits_f,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         nw = jnp.einsum("bwn,bn->bw", oh, vsum_f,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         node_value = nw / jnp.maximum(nv, 1.0)
 
         # Rank-ordered per-level virtual loss on the gathered [B,K] rows.
@@ -1132,16 +1299,24 @@ def _simulate_wave(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
     expand = expand0 & (first == wrange[None, :])  # canonical walkers only
 
     # --- batched leaf pipeline over B*W ---
-    leaf_packed = jax.tree_util.tree_map(
-        lambda x: jnp.einsum(
-            "bwn,bnx->bwx",
-            oh_leaves.astype(x.dtype)
-            if x.dtype == jnp.bfloat16 else oh_leaves,
-            x.reshape(B, N, -1),
-            preferred_element_type=jnp.float32,
-        ).reshape((B * W,) + x.shape[2:]).astype(x.dtype),
-        tree.states,
-    )
+    # bf16 payloads (board cells, flags: values exact in bf16) take the
+    # single-pass sweep; wider payloads (bit-packed rows, hash halves,
+    # counters — up to 2^16) run at HIGHEST because BATCHED einsums
+    # truncate operands through bf16 at default precision on both CPU and
+    # TPU (round-3 finding; the W=1 2-D gathers never had this problem).
+    def _gather_wave(x):
+        flat = x.reshape(B, N, -1)
+        if x.dtype == jnp.bfloat16:
+            out = jnp.einsum("bwn,bnx->bwx", oh_leaves, flat,
+                             preferred_element_type=jnp.float32)
+        else:
+            out = jnp.einsum("bwn,bnx->bwx",
+                             oh_leaves.astype(jnp.float32), flat,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+        return out.reshape((B * W,) + x.shape[2:]).astype(x.dtype)
+
+    leaf_packed = jax.tree_util.tree_map(_gather_wave, tree.states)
     leaf_state = _unpack_state(leaf_packed, proto, env)
     child_state = jax.vmap(env.step)(leaf_state, actions.reshape(-1))
     obs = jax.vmap(env.observation)(child_state)
@@ -1163,6 +1338,17 @@ def _simulate_wave(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
     topv_w, topa_w = bw(topv), bw(topa)
     cterm_w, ctval_w = bw(child_term), bw(child_tval)
     value_w = bw(value)
+
+    # --- transposition table: consult before using the NN output, store
+    # on miss (reference parallel_mcts.cpp:835-917) ---
+    tt = tree.tt
+    if config.tt_size:
+        h = jax.vmap(env.position_hash)(child_state).reshape(B, W, 2)
+        lookup_elig = expand0 & ~cterm_w  # duplicates too: same hash,
+        store_elig = expand & ~cterm_w    # same hit verdict as canonical
+        tt, value_w, topv_w, topa_w, _ = _tt_process(
+            tt, h, lookup_elig, store_elig, value_w, topv_w, topa_w,
+        )
 
     # --- install W rows (one block write per arena array) ---
     states = jax.tree_util.tree_map(
@@ -1222,6 +1408,7 @@ def _simulate_wave(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
     leaf_tval = jnp.einsum(
         "bwn,bn->bw", oh_leaves, tree.tvalue,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     leaf_term = ~expand0
     leaf_val = jnp.where(
@@ -1237,7 +1424,8 @@ def _simulate_wave(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
         jnp.abs(sel.mask_signed), axis=1, dtype=jnp.float32
     )
     val_add = jnp.einsum("bwn,bw->bn", sel.mask_signed, sgn,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
     visits = tree.visits + vis_add.astype(jnp.int32)
     value_sum = tree.value_sum + val_add
 
@@ -1270,7 +1458,8 @@ def _simulate_wave(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
         "bwa,bw->ba", oh_roots, backed.astype(jnp.float32)
     ).astype(jnp.int32)
     root_evalue = tree.root_evalue + jnp.einsum(
-        "bwa,bw->ba", oh_roots, jnp.where(backed, sign1, 0.0)
+        "bwa,bw->ba", oh_roots, jnp.where(backed, sign1, 0.0),
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     return tree.replace(
@@ -1289,6 +1478,7 @@ def _simulate_wave(env, eval_fn: EvalFn, tree: Tree, slot: jax.Array,
         cchild=cchild,
         caction=caction,
         states=states,
+        tt=tt,
     )
 
 
@@ -1298,14 +1488,18 @@ def search(
     root_states,
     rng: jax.Array,
     config: MCTSConfig,
+    tt: TTable | None = None,
 ) -> SearchOutput:
     """Run ``config.num_simulations`` batched simulations from the given
-    roots.  Fully jittable; env and config are static."""
+    roots.  Fully jittable; env and config are static.  ``tt`` warm-starts
+    the transposition table (``config.tt_size`` entries) from a previous
+    search — the reference keeps one TT per game across moves
+    (self_play_manager.cpp:166-184)."""
     noise_rng, _ = jax.random.split(rng)
     obs = jax.vmap(env.observation)(root_states)
     logits, value = eval_fn(obs, jax.vmap(env.to_play)(root_states))
     tree = instantiate_tree(env, root_states, logits, value, config,
-                            noise_rng)
+                            noise_rng, tt=tt)
 
     if config.wave_size > 1:
         def body(t, wv):
@@ -1574,6 +1768,9 @@ def reroot(
         caction=front(caction_p, fill=-1.0,
                       fresh_row=jnp.full((B, K), -1.0, jnp.float32)),
         states=states_new,
+        # The table survives the move boundary — the reference keeps one TT
+        # per game across its moves (self_play_manager.cpp:166-184).
+        tt=tree.tt,
     )
 
 

@@ -305,7 +305,8 @@ def forward_int8_from_q(qp, xq):
 # --------------------------------------------------------------------------
 # public entry
 
-def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512):
+def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512,
+                      chunk_mode: str = "unroll"):
     """BN-fold, calibrate and quantize ``model`` into an int8 EvalFn.
 
     ``calib_obs``: observation array(s) for activation-range calibration;
@@ -333,17 +334,29 @@ def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512):
         B = obs.shape[0]
         if chunk and B > chunk and B % chunk == 0:
             # Transpose + quantize the WHOLE leaf batch in one fused pass
-            # (f32/bf16 NCHW -> s8 NHWC), then map the conv trunk over s8
-            # chunks — the map slices read 4-8x fewer bytes than mapping
-            # over raw f32 observations.
+            # (f32/bf16 NCHW -> s8 NHWC), then run the conv trunk over s8
+            # chunks.  The chunk loop is PYTHON-UNROLLED inside the caller's
+            # jit, not lax.map: the map while-loop re-stages the requant
+            # constants and serializes loop bookkeeping every iteration —
+            # measured 2.06 us/obs (map512) vs 1.34 us/obs (unroll512) at
+            # the 16384-leaf wave shape (tools/profile_eval_r3.py, round 3).
             x = jnp.transpose(obs.astype(jnp.float32), (0, 2, 3, 1))
             xq = _quant_act(x, qp["in_scale"])
-            chunks = xq.reshape((B // chunk, chunk) + xq.shape[1:])
-            logits, value = jax.lax.map(
-                lambda q: forward_int8_from_q(qp, q), chunks
-            )
-            return (logits.reshape((B,) + logits.shape[2:]),
-                    value.reshape((B,)))
+            if chunk_mode == "map":
+                chunks = xq.reshape((B // chunk, chunk) + xq.shape[1:])
+                logits, value = jax.lax.map(
+                    lambda q: forward_int8_from_q(qp, q), chunks
+                )
+                return (logits.reshape((B,) + logits.shape[2:]),
+                        value.reshape((B,)))
+            outs = [
+                forward_int8_from_q(
+                    qp, jax.lax.dynamic_slice_in_dim(xq, i * chunk, chunk, 0)
+                )
+                for i in range(B // chunk)
+            ]
+            return (jnp.concatenate([a for a, _ in outs]),
+                    jnp.concatenate([b for _, b in outs]))
         return forward_int8(qp, obs)
 
     return eval_fn

@@ -72,8 +72,11 @@ def main():
         # BENCH_CHUNK: lax.map chunk for the NN leaf batch (0 = monolithic).
         # Sweep at B=1024/W=16: 512: 849, 1024: 821, 256: 826, 2048: 32.
         chunk = int(os.environ.get("BENCH_CHUNK", "512"))
+        # BENCH_CHUNK_MODE: "unroll" (python-unrolled chunk loop, default)
+        # or "map" (lax.map) — see models/quant.make_int8_eval_fn.
+        mode = os.environ.get("BENCH_CHUNK_MODE", "unroll")
         eval_fn = make_int8_eval_fn(model, params, calib_obs=calib,
-                                    chunk=chunk or None)
+                                    chunk=chunk or None, chunk_mode=mode)
     else:
         # BN-folded bf16 inference (models/resnet.fold_batch_norm).
         eval_fn = make_inference_eval_fn(model, params)
