@@ -157,16 +157,47 @@ def _flood(seed: jax.Array, region: jax.Array) -> jax.Array:
     return _or_flood(seed & region, region)
 
 
+def _min_label_flood(stones: jax.Array) -> jax.Array:
+    """i32 [N, N]: per-cell minimum flat index of the cell's 4-connected
+    stone group; non-stones get N*N.  Iterated neighbor-min label
+    propagation to fixpoint — a handful of elementwise [N, N] VPU ops per
+    iteration (iterations = max group "label diameter" across the vmapped
+    batch, typically 10-30), replacing the 2*ceil(log2(S)) [S, S] int8
+    matrix squarings that dominated go19 per-simulation cost (round 3;
+    the [S, S] reachability matmul chain was ~9x the FLOPs of the single
+    group-aggregation matmul that remains in _cell_group_stats)."""
+    n = stones.shape[0]
+    big = jnp.int32(n * n)
+    idx = jnp.arange(n * n, dtype=jnp.int32).reshape(n, n)
+    ids0 = jnp.where(stones, idx, big)
+
+    def nbr_min(x):
+        up = jnp.concatenate([x[1:], jnp.full((1, n), big, jnp.int32)], 0)
+        down = jnp.concatenate([jnp.full((1, n), big, jnp.int32), x[:-1]], 0)
+        left = jnp.concatenate(
+            [x[:, 1:], jnp.full((n, 1), big, jnp.int32)], 1
+        )
+        right = jnp.concatenate(
+            [jnp.full((n, 1), big, jnp.int32), x[:, :-1]], 1
+        )
+        return jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
+
+    def cond(c):
+        return c[1]
+
+    def body(c):
+        x, _ = c
+        nx = jnp.where(stones, jnp.minimum(x, nbr_min(x)), big)
+        return nx, jnp.any(nx != x)
+
+    out, _ = jax.lax.while_loop(cond, body, (ids0, jnp.any(stones)))
+    return out
+
+
 def _group_ids(stones: jax.Array) -> jax.Array:
     """i32 [N, N]; each stone cell gets the smallest flat index in its
     group; non-stones get N*N (an out-of-range segment id)."""
-    n = stones.shape[0]
-    size = n * n
-    flat = stones.reshape(-1)
-    reach = _reach_matrix(flat)
-    arange = jnp.arange(size, dtype=jnp.int32)
-    ids = jnp.where(reach, arange[None, :], size).min(-1)
-    return jnp.where(flat, ids, size).reshape(n, n)
+    return _min_label_flood(stones)
 
 
 class GroupStats(NamedTuple):
@@ -187,8 +218,15 @@ def _cell_group_stats(
     S = stones_flat.shape[0]
     n = int(round(S ** 0.5))
     A = jnp.asarray(_adjacency_np(n))
-    reach = _reach_matrix(stones_flat)  # [S, S]
     arange = jnp.arange(S, dtype=jnp.int32)
+
+    # Group membership from min-label propagation (VPU) instead of the
+    # [S, S] matrix-squaring chain: reach[q, r] <=> same finite label.
+    ids = _min_label_flood(stones_flat.reshape(n, n)).reshape(-1)
+    reach = (
+        (ids[:, None] == ids[None, :])
+        & stones_flat[None, :] & stones_flat[:, None]
+    )  # [S, S]
 
     # Liberty indicator: cell q's group reaches stone r adjacent to empty e.
     adj_empty = A & empty_flat[None, :]
@@ -204,9 +242,6 @@ def _cell_group_stats(
         stones_flat,
         jnp.where(lib_ind, arange[None, :], S).min(-1),
         S,
-    )
-    ids = jnp.where(
-        stones_flat, jnp.where(reach, arange[None, :], S).min(-1), S
     )
     size = jnp.where(stones_flat, reach.sum(-1).astype(jnp.int32), 0)
 

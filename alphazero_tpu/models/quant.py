@@ -258,17 +258,17 @@ def _quant_act(a, scale):
     return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 
-def forward_int8(qp, obs):
+def forward_int8(qp, obs, residual: str = "bf16"):
     """Quantized forward (NCHW obs) -> (logits f32, value f32)."""
     x = jnp.transpose(obs.astype(jnp.float32), (0, 2, 3, 1))
     xq = _quant_act(x, qp["in_scale"])
-    return forward_int8_from_q(qp, xq)
+    return forward_int8_from_q(qp, xq, residual)
 
 
-def forward_int8_from_q(qp, xq):
+def forward_int8_from_q(qp, xq, residual: str = "bf16"):
     """Quantized forward from pre-quantized NHWC s8 input (the chunked
-    eval path quantizes ONCE over the whole leaf batch before lax.map, so
-    the f32 obs isn't re-read/transposed per chunk).
+    eval path quantizes ONCE over the whole leaf batch before the chunk
+    loop, so the f32 obs isn't re-read/transposed per chunk).
 
     The ``optimization_barrier`` on each quantized activation pins ONE s8
     materialization point: without it, XLA duplicates the requant into each
@@ -276,14 +276,40 @@ def forward_int8_from_q(qp, xq):
     s32 conv accumulator [chunk,15,15,64] alive as the shared value — a
     29.5 MB/chunk write measured at 36 us/conv in the round-3 trace (the
     conv fusions emitted (s32, s8) tuples).  With the barrier the s32
-    stays inside the conv's fused epilogue."""
+    stays inside the conv's fused epilogue.
+
+    ``residual``: "bf16" keeps a bf16 master copy of the trunk stream for
+    the residual adds (exact); "int8" carries ONLY the s8 activation
+    between blocks and dequantizes it inside the next conv2 epilogue —
+    the trace showed the conv chain is HBM-bandwidth-bound, and the bf16
+    master is ~half the inter-block traffic."""
     st = qp["stem"]
     y = _conv_i8(xq, st["wq"]).astype(jnp.float32) * st["m"] + st["bias"]
-    a = jax.nn.relu(y).astype(jnp.bfloat16)  # stem out (bf16 master copy)
+    a = jax.nn.relu(y).astype(jnp.bfloat16)  # stem out
+    if residual == "int8":
+        aq = jax.lax.optimization_barrier(_quant_act(a, st["out_scale"]))
+        s_prev = st["out_scale"]
+        for blk in qp["blocks"]:
+            h = (_conv_i8(aq, blk["wq1"]).astype(jnp.float32) * blk["m1"]
+                 + blk["b1"])
+            hq = _quant_act(jax.nn.relu(h), blk["mid_scale"])
+            hq = jax.lax.optimization_barrier(hq)
+            g = _se_gate_precomputed(hq, blk)
+            h2 = (_conv_i8(hq, blk["wq2"]).astype(jnp.float32) * blk["m2"]
+                  + blk["b2"]).astype(jnp.bfloat16)
+            a_deq = aq.astype(jnp.bfloat16) * (
+                jnp.asarray(s_prev, jnp.float32) / 127.0
+            ).astype(jnp.bfloat16)
+            a = jax.nn.relu(a_deq + h2 * g)
+            aq = jax.lax.optimization_barrier(
+                _quant_act(a, blk["out_scale"])
+            )
+            s_prev = blk["out_scale"]
+        return _heads(qp, a)
+
     a, aq = jax.lax.optimization_barrier(
         (a, _quant_act(a, st["out_scale"]))
     )
-
     for blk in qp["blocks"]:
         h = (_conv_i8(aq, blk["wq1"]).astype(jnp.float32) * blk["m1"]
              + blk["b1"])
@@ -305,8 +331,66 @@ def forward_int8_from_q(qp, xq):
 # --------------------------------------------------------------------------
 # public entry
 
+def build_quantized_params(model, variables, calib_obs=None):
+    """BN-fold, calibrate and quantize ``model`` -> the flat ``qp`` pytree
+    the int8 executors consume."""
+    fp = extract_folded(model, variables)
+    if calib_obs is None:
+        obs_shape = _infer_obs_shape(model, variables)
+        calib_obs = [jnp.zeros((8,) + obs_shape, jnp.float32)]
+    elif not isinstance(calib_obs, (list, tuple)):
+        calib_obs = [calib_obs]
+    scales = calibrate(fp, calib_obs)
+    return quantize(fp, scales)
+
+
+def _chunked_int8_eval(qp, obs, chunk, chunk_mode, residual="bf16"):
+    B = obs.shape[0]
+    if chunk and B > chunk and B % chunk == 0:
+        x = jnp.transpose(obs.astype(jnp.float32), (0, 2, 3, 1))
+        xq = _quant_act(x, qp["in_scale"])
+        if chunk_mode == "map":
+            chunks = xq.reshape((B // chunk, chunk) + xq.shape[1:])
+            logits, value = jax.lax.map(
+                lambda q: forward_int8_from_q(qp, q, residual), chunks
+            )
+            return (logits.reshape((B,) + logits.shape[2:]),
+                    value.reshape((B,)))
+        outs = [
+            forward_int8_from_q(
+                qp, jax.lax.dynamic_slice_in_dim(xq, i * chunk, chunk, 0),
+                residual,
+            )
+            for i in range(B // chunk)
+        ]
+        return (jnp.concatenate([a for a, _ in outs]),
+                jnp.concatenate([b for _, b in outs]))
+    return forward_int8(qp, obs, residual)
+
+
+def make_int8_eval_params(model, variables, calib_obs=None, chunk: int = 512,
+                          chunk_mode: str = "unroll",
+                          residual: str = "bf16"):
+    """Params-style int8 evaluator: returns ``(eval_fn, qp)`` where
+    ``eval_fn(qp, obs, to_play)`` takes the quantized parameters as a jit
+    ARGUMENT (use with ``make_host_actor(..., with_params=True)``).
+
+    Closure-constant qp (make_int8_eval_fn) bakes every scale/weight into
+    the executable, and the round-3 device trace showed XLA rematerializes
+    them as ~500 tiny constant fusions per wave across the unrolled chunks
+    (12% of device time); as runtime arguments they are staged once in HBM
+    and simply read.  Also what weight refreshes want: a new qp needs no
+    retrace."""
+    qp = build_quantized_params(model, variables, calib_obs)
+
+    def eval_fn(params, obs, to_play=None):
+        return _chunked_int8_eval(params, obs, chunk, chunk_mode, residual)
+
+    return eval_fn, qp
+
+
 def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512,
-                      chunk_mode: str = "unroll"):
+                      chunk_mode: str = "unroll", residual: str = "bf16"):
     """BN-fold, calibrate and quantize ``model`` into an int8 EvalFn.
 
     ``calib_obs``: observation array(s) for activation-range calibration;
@@ -321,43 +405,18 @@ def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512,
     full-bench chunk sweep at the 15x15 trunk shape measured (moves/s):
     512: 849, 1024: 821, 256: 826, 128: 820, 2048: 32 — 512 is the
     optimum and the default."""
-    fp = extract_folded(model, variables)
-    if calib_obs is None:
-        obs_shape = _infer_obs_shape(model, variables)
-        calib_obs = [jnp.zeros((8,) + obs_shape, jnp.float32)]
-    elif not isinstance(calib_obs, (list, tuple)):
-        calib_obs = [calib_obs]
-    scales = calibrate(fp, calib_obs)
-    qp = quantize(fp, scales)
+    """Closure-style int8 evaluator (qp baked as jit constants).
+
+    The chunk loop is PYTHON-UNROLLED inside the caller's jit by default,
+    not lax.map: the map while-loop re-stages the requant constants and
+    serializes loop bookkeeping every iteration — measured 2.06 us/obs
+    (map512) vs 1.34 us/obs (unroll512) at the 16384-leaf wave shape
+    (tools/profile_eval_r3.py, round 3).  Prefer make_int8_eval_params
+    for hot loops (constants -> arguments)."""
+    qp = build_quantized_params(model, variables, calib_obs)
 
     def eval_fn(obs, to_play=None):
-        B = obs.shape[0]
-        if chunk and B > chunk and B % chunk == 0:
-            # Transpose + quantize the WHOLE leaf batch in one fused pass
-            # (f32/bf16 NCHW -> s8 NHWC), then run the conv trunk over s8
-            # chunks.  The chunk loop is PYTHON-UNROLLED inside the caller's
-            # jit, not lax.map: the map while-loop re-stages the requant
-            # constants and serializes loop bookkeeping every iteration —
-            # measured 2.06 us/obs (map512) vs 1.34 us/obs (unroll512) at
-            # the 16384-leaf wave shape (tools/profile_eval_r3.py, round 3).
-            x = jnp.transpose(obs.astype(jnp.float32), (0, 2, 3, 1))
-            xq = _quant_act(x, qp["in_scale"])
-            if chunk_mode == "map":
-                chunks = xq.reshape((B // chunk, chunk) + xq.shape[1:])
-                logits, value = jax.lax.map(
-                    lambda q: forward_int8_from_q(qp, q), chunks
-                )
-                return (logits.reshape((B,) + logits.shape[2:]),
-                        value.reshape((B,)))
-            outs = [
-                forward_int8_from_q(
-                    qp, jax.lax.dynamic_slice_in_dim(xq, i * chunk, chunk, 0)
-                )
-                for i in range(B // chunk)
-            ]
-            return (jnp.concatenate([a for a, _ in outs]),
-                    jnp.concatenate([b for _, b in outs]))
-        return forward_int8(qp, obs)
+        return _chunked_int8_eval(qp, obs, chunk, chunk_mode, residual)
 
     return eval_fn
 

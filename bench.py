@@ -55,6 +55,7 @@ def main():
     params = model.init(
         rng, jnp.zeros((1,) + env.observation_shape, jnp.float32)
     )
+    eval_params = None
     if os.environ.get("BENCH_EVAL", "") == "stub":
         # Engine-only decomposition: uniform evaluator, no NN.
         from alphazero_tpu.models.stub import make_uniform_eval_fn
@@ -75,8 +76,28 @@ def main():
         # BENCH_CHUNK_MODE: "unroll" (python-unrolled chunk loop, default)
         # or "map" (lax.map) — see models/quant.make_int8_eval_fn.
         mode = os.environ.get("BENCH_CHUNK_MODE", "unroll")
-        eval_fn = make_int8_eval_fn(model, params, calib_obs=calib,
-                                    chunk=chunk or None, chunk_mode=mode)
+        # BENCH_QP_ARGS=1: quantized params as jit ARGUMENTS
+        # (make_int8_eval_params) instead of baked trace constants.
+        # Measured a big LOSS (547 vs 766 moves/s): the ~500 tiny
+        # constant fusions per wave are cheaper than runtime staging, and
+        # constant scales fold into the conv epilogues.  Default stays
+        # constants; the params path exists for weight refreshes without
+        # retracing (training-loop use).
+        if os.environ.get("BENCH_QP_ARGS", "0") == "1":
+            from alphazero_tpu.models.quant import make_int8_eval_params
+
+            eval_fn, eval_params = make_int8_eval_params(
+                model, params, calib_obs=calib, chunk=chunk or None,
+                chunk_mode=mode)
+        else:
+            # BENCH_RESIDUAL: "int8" (default — s8-only trunk stream; the
+            # conv chain is HBM-bandwidth-bound and the bf16 master copy
+            # was ~half the inter-block traffic; measured 808.8 vs 769.7
+            # moves/s adjacent A/B) or "bf16" (exact master copy).
+            resid = os.environ.get("BENCH_RESIDUAL", "int8")
+            eval_fn = make_int8_eval_fn(model, params, calib_obs=calib,
+                                        chunk=chunk or None, chunk_mode=mode,
+                                        residual=resid)
     else:
         # BN-folded bf16 inference (models/resnet.fold_batch_norm).
         eval_fn = make_inference_eval_fn(model, params)
@@ -95,7 +116,15 @@ def main():
     )
     # Host-driven actor: per-sim executables with donated arenas (see
     # mcts/search.make_host_search) — measured ~3x over the scanned loop.
-    step, states = make_host_actor(env, eval_fn, config, batch)
+    with_params = eval_params is not None
+    _step, states = make_host_actor(env, eval_fn, config, batch,
+                                    with_params=with_params)
+    if with_params:
+        def step(s, r, _p=eval_params, _f=_step):
+            return _f(_p, s, r)
+        step.search = getattr(_step, "search", None)
+    else:
+        step = _step
     r0 = jax.random.key(0)
 
     # BENCH_MODE=midgame (VERDICT r1 #9): the opening-16-moves figure is
@@ -108,7 +137,11 @@ def main():
         @jax.jit
         def policy_move(states, rng):
             obs = jax.vmap(env.observation)(states)
-            logits, _ = eval_fn(obs, jax.vmap(env.to_play)(states))
+            tp = jax.vmap(env.to_play)(states)
+            if with_params:
+                logits, _ = eval_fn(eval_params, obs, tp)
+            else:
+                logits, _ = eval_fn(obs, tp)
             legal = jax.vmap(env.legal_mask)(states)
             probs = masked_softmax(logits, legal)
             acts = jax.random.categorical(rng, jnp.log(probs + 1e-9))

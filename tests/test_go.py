@@ -375,3 +375,50 @@ class TestFloodSpiralStress:
         expect = np.zeros((n, n), bool)
         expect[0, :2] = True
         np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+class TestLabelFloodEquivalence:
+    """Round 3: _cell_group_stats moved from the [S,S] matrix-squaring
+    reachability chain to min-label propagation (_min_label_flood).  The
+    squaring chain (_reach_matrix) stays as the oracle: on random boards
+    every GroupStats field must agree exactly."""
+
+    @pytest.mark.parametrize("n,seed", [(9, 0), (9, 1), (13, 2), (19, 3)])
+    def test_stats_match_reachability_oracle(self, n, seed):
+        import numpy as np
+        from alphazero_tpu.games.go import (
+            GroupStats, _adjacency_np, _cell_group_stats, _reach_matrix,
+        )
+
+        rng = np.random.RandomState(seed)
+        board = rng.choice([-1, 0, 1], size=(n, n), p=[0.4, 0.3, 0.3])
+        S = n * n
+        for color in (0, 1):
+            stones = jnp.asarray((board == color).reshape(-1))
+            empty = jnp.asarray((board == -1).reshape(-1))
+            keys = jnp.asarray(
+                rng.randint(0, 2**16, size=(S, 2)).astype(np.uint32)
+            )
+            got = jax.jit(_cell_group_stats)(stones, empty, keys)
+
+            # Oracle: identical formulas on the squaring-chain reach matrix.
+            reach = jax.jit(_reach_matrix)(stones)
+            A = jnp.asarray(_adjacency_np(n))
+            arange = jnp.arange(S, dtype=jnp.int32)
+            lib_ind = jnp.matmul(
+                reach.astype(jnp.int8), (A & empty[None, :]).astype(jnp.int8),
+                preferred_element_type=jnp.int32) > 0
+            np.testing.assert_array_equal(
+                np.asarray(got.libs),
+                np.asarray(jnp.where(stones, lib_ind.sum(-1), 0)))
+            np.testing.assert_array_equal(
+                np.asarray(got.libpos),
+                np.asarray(jnp.where(
+                    stones, jnp.where(lib_ind, arange[None, :], S).min(-1), S)))
+            np.testing.assert_array_equal(
+                np.asarray(got.ids),
+                np.asarray(jnp.where(
+                    stones, jnp.where(reach, arange[None, :], S).min(-1), S)))
+            np.testing.assert_array_equal(
+                np.asarray(got.size),
+                np.asarray(jnp.where(stones, reach.sum(-1), 0)))

@@ -66,11 +66,19 @@ def run_pipeline_script(body: str, tmp_path) -> None:
     backend; assertions inside ``body`` surface as non-zero exit."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    # 4 devices, overriding the suite-wide 8: see module docstring.
+    # min(4, cores) devices, overriding the suite-wide 8: see module
+    # docstring.  Round 3: 4 virtual devices on this 2-core box missed the
+    # 40s rendezvous deadline even with the suite otherwise idle (each
+    # collective party needs a core-resident thread; 4 parties on 2 cores
+    # rely on preemption timing) — reproduced at a pre-round commit, so
+    # environmental, not a regression.  Never exceed the physical core
+    # count; wider sharding coverage lives in dryrun_multichip + the
+    # sharded-equals-unsharded checks of test_parallel.py.
+    n_dev = max(2, min(4, os.cpu_count() or 2))
     flags = [f for f in env.get("XLA_FLAGS", "").split()
              if "host_platform_device_count" not in f]
     env["XLA_FLAGS"] = " ".join(
-        flags + ["--xla_force_host_platform_device_count=4"]
+        flags + [f"--xla_force_host_platform_device_count={n_dev}"]
     )
     script = _PRELUDE.format(repo=REPO) + body.format(tmp=str(tmp_path))
     proc = subprocess.run(

@@ -60,6 +60,26 @@ class TestQuant:
         assert corr >= 0.99
         assert float(jnp.abs(v_q - v_f).mean()) < 0.02
 
+    def test_int8_residual_carry_matches_closely(self):
+        """residual="int8" (s8-only trunk stream, the bench default —
+        the conv chain is HBM-bandwidth-bound, BENCHLOG round 3) must hold
+        the same quality bars as the bf16-residual int8 path."""
+        model, params = trained_model()
+        obs = jax.random.uniform(jax.random.key(9), (32, 3, 7, 7))
+        fm, fv = fold_batch_norm(model, params)
+        l_f, v_f = fm.apply(fv, obs)
+        ev = make_int8_eval_fn(model, params, calib_obs=obs,
+                               residual="int8")
+        l_q, v_q = ev(obs)
+        agree = float(
+            (jnp.argmax(l_q, -1) == jnp.argmax(l_f, -1)).mean()
+        )
+        corr = float(np.corrcoef(np.asarray(l_q).ravel(),
+                                 np.asarray(l_f).ravel())[0, 1])
+        assert agree >= 0.9
+        assert corr >= 0.99
+        assert float(jnp.abs(v_q - v_f).mean()) < 0.03
+
     def test_int8_eval_fn_shapes_and_default_calibration(self):
         model, params = trained_model(steps=1)
         ev = make_int8_eval_fn(model, params)  # zero-obs calibration
@@ -86,3 +106,32 @@ class TestQuant:
         np.testing.assert_allclose(
             np.asarray(direct), np.asarray(via_taps), rtol=1e-5, atol=1e-4
         )
+
+
+class TestParamsStyleEval:
+    def test_params_eval_matches_closure_eval(self):
+        """make_int8_eval_params (qp as jit arguments) must produce
+        bit-identical outputs to make_int8_eval_fn (qp as constants) —
+        both unroll-chunked and monolithic."""
+        from alphazero_tpu.models.quant import (
+            make_int8_eval_fn, make_int8_eval_params,
+        )
+
+        cfg = ResNetConfig(num_blocks=2, channels=16)
+        model = AZResNet(num_actions=49, cfg=cfg)
+        obs_shape = (11, 7, 7)
+        params = model.init(
+            jax.random.key(0), jnp.zeros((1,) + obs_shape, jnp.float32)
+        )
+        calib = jax.random.uniform(jax.random.key(1), (8,) + obs_shape)
+        obs = jax.random.uniform(jax.random.key(2), (8,) + obs_shape)
+
+        for chunk in (None, 4):
+            closure = make_int8_eval_fn(
+                model, params, calib_obs=calib, chunk=chunk)
+            fn, qp = make_int8_eval_params(
+                model, params, calib_obs=calib, chunk=chunk)
+            l1, v1 = jax.jit(closure)(obs)
+            l2, v2 = jax.jit(fn)(qp, obs)
+            np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
