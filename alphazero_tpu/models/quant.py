@@ -200,6 +200,18 @@ def quantize(fp, act_scales) -> Dict[str, Any]:
     for k in ("policy_conv", "policy_dense", "value_conv", "value_dense1",
               "value_dense2"):
         qp[k] = fp[k]
+
+    # int8 head convs (heads="int8"): 1x1 convs on the final trunk
+    # activation quantized like the trunk (input scale = last block out).
+    def q1x1(w, s_in):
+        k = w["kernel"]
+        sw = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-8)
+        wq = jnp.clip(jnp.round(k / sw * 127.0), -127, 127).astype(jnp.int8)
+        m = (s_in * sw) / (127.0 * 127.0)
+        return {"wq": wq, "m": m, "bias": w["bias"]}
+
+    qp["policy_conv_q"] = q1x1(fp["policy_conv"], s_prev)
+    qp["value_conv_q"] = q1x1(fp["value_conv"], s_prev)
     return qp
 
 
@@ -258,14 +270,40 @@ def _quant_act(a, scale):
     return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 
-def forward_int8(qp, obs, residual: str = "bf16"):
+def _heads_int8(qp, aq):
+    """Policy/value heads from the QUANTIZED trunk activation: the 1x1
+    head convs run s8 x s8 -> s32 with fused requant, so the final bf16
+    trunk copy never materializes (heads="int8"; the dense layers stay
+    bf16 — they are tiny)."""
+    pq = qp["policy_conv_q"]
+    p = jax.nn.relu(
+        (_conv_i8(aq, pq["wq"]).astype(jnp.float32) * pq["m"] + pq["bias"])
+    ).astype(jnp.bfloat16)
+    logits = (p.reshape(p.shape[0], -1)
+              @ qp["policy_dense"]["kernel"].astype(jnp.bfloat16)
+              + qp["policy_dense"]["bias"].astype(jnp.bfloat16))
+    vq = qp["value_conv_q"]
+    v = jax.nn.relu(
+        (_conv_i8(aq, vq["wq"]).astype(jnp.float32) * vq["m"] + vq["bias"])
+    ).astype(jnp.bfloat16)
+    v = v.reshape(v.shape[0], -1)
+    v = jax.nn.relu(v @ qp["value_dense1"]["kernel"].astype(jnp.bfloat16)
+                    + qp["value_dense1"]["bias"].astype(jnp.bfloat16))
+    v = (v @ qp["value_dense2"]["kernel"].astype(jnp.bfloat16)
+         + qp["value_dense2"]["bias"].astype(jnp.bfloat16))
+    value = jnp.tanh(v.astype(jnp.float32)).squeeze(-1)
+    return logits.astype(jnp.float32), value
+
+
+def forward_int8(qp, obs, residual: str = "bf16", heads: str = "bf16"):
     """Quantized forward (NCHW obs) -> (logits f32, value f32)."""
     x = jnp.transpose(obs.astype(jnp.float32), (0, 2, 3, 1))
     xq = _quant_act(x, qp["in_scale"])
-    return forward_int8_from_q(qp, xq, residual)
+    return forward_int8_from_q(qp, xq, residual, heads)
 
 
-def forward_int8_from_q(qp, xq, residual: str = "bf16"):
+def forward_int8_from_q(qp, xq, residual: str = "bf16",
+                        heads: str = "bf16"):
     """Quantized forward from pre-quantized NHWC s8 input (the chunked
     eval path quantizes ONCE over the whole leaf batch before the chunk
     loop, so the f32 obs isn't re-read/transposed per chunk).
@@ -305,6 +343,8 @@ def forward_int8_from_q(qp, xq, residual: str = "bf16"):
                 _quant_act(a, blk["out_scale"])
             )
             s_prev = blk["out_scale"]
+        if heads == "int8":
+            return _heads_int8(qp, aq)
         return _heads(qp, a)
 
     a, aq = jax.lax.optimization_barrier(
@@ -325,6 +365,8 @@ def forward_int8_from_q(qp, xq, residual: str = "bf16"):
             (a, _quant_act(a, blk["out_scale"]))
         )
 
+    if heads == "int8":
+        return _heads_int8(qp, aq)
     return _heads(qp, a)
 
 
@@ -344,7 +386,8 @@ def build_quantized_params(model, variables, calib_obs=None):
     return quantize(fp, scales)
 
 
-def _chunked_int8_eval(qp, obs, chunk, chunk_mode, residual="bf16"):
+def _chunked_int8_eval(qp, obs, chunk, chunk_mode, residual="bf16",
+                       heads="bf16"):
     B = obs.shape[0]
     if chunk and B > chunk and B % chunk == 0:
         x = jnp.transpose(obs.astype(jnp.float32), (0, 2, 3, 1))
@@ -352,20 +395,21 @@ def _chunked_int8_eval(qp, obs, chunk, chunk_mode, residual="bf16"):
         if chunk_mode == "map":
             chunks = xq.reshape((B // chunk, chunk) + xq.shape[1:])
             logits, value = jax.lax.map(
-                lambda q: forward_int8_from_q(qp, q, residual), chunks
+                lambda q: forward_int8_from_q(qp, q, residual, heads),
+                chunks
             )
             return (logits.reshape((B,) + logits.shape[2:]),
                     value.reshape((B,)))
         outs = [
             forward_int8_from_q(
                 qp, jax.lax.dynamic_slice_in_dim(xq, i * chunk, chunk, 0),
-                residual,
+                residual, heads,
             )
             for i in range(B // chunk)
         ]
         return (jnp.concatenate([a for a, _ in outs]),
                 jnp.concatenate([b for _, b in outs]))
-    return forward_int8(qp, obs, residual)
+    return forward_int8(qp, obs, residual, heads)
 
 
 def make_int8_eval_params(model, variables, calib_obs=None, chunk: int = 512,
@@ -390,7 +434,8 @@ def make_int8_eval_params(model, variables, calib_obs=None, chunk: int = 512,
 
 
 def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512,
-                      chunk_mode: str = "unroll", residual: str = "bf16"):
+                      chunk_mode: str = "unroll", residual: str = "bf16",
+                      heads: str = "bf16"):
     """BN-fold, calibrate and quantize ``model`` into an int8 EvalFn.
 
     ``calib_obs``: observation array(s) for activation-range calibration;
@@ -416,7 +461,8 @@ def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512,
     qp = build_quantized_params(model, variables, calib_obs)
 
     def eval_fn(obs, to_play=None):
-        return _chunked_int8_eval(qp, obs, chunk, chunk_mode, residual)
+        return _chunked_int8_eval(qp, obs, chunk, chunk_mode, residual,
+                                  heads)
 
     return eval_fn
 

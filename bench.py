@@ -95,9 +95,13 @@ def main():
             # was ~half the inter-block traffic; measured 808.8 vs 769.7
             # moves/s adjacent A/B) or "bf16" (exact master copy).
             resid = os.environ.get("BENCH_RESIDUAL", "int8")
+            # BENCH_HEADS: "int8" runs the 1x1 head convs on the s8 trunk
+            # activation (no final bf16 trunk copy); "bf16" keeps them on
+            # the bf16 stream.
+            heads = os.environ.get("BENCH_HEADS", "bf16")
             eval_fn = make_int8_eval_fn(model, params, calib_obs=calib,
                                         chunk=chunk or None, chunk_mode=mode,
-                                        residual=resid)
+                                        residual=resid, heads=heads)
     else:
         # BN-folded bf16 inference (models/resnet.fold_batch_norm).
         eval_fn = make_inference_eval_fn(model, params)
