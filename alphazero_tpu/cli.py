@@ -29,13 +29,11 @@ class GameSession:
         self.options = {"simulations": simulations, "temperature": 0.0}
         if model_path:
             from alphazero_tpu.models.io import load_model
+            from alphazero_tpu.models.resnet import make_inference_eval_fn
 
             model, params = load_model(model_path, self.env.observation_shape)
-
-            def eval_fn(obs, to_play=None):
-                return model.apply(params, obs)
-
-            self.eval_fn = eval_fn
+            # BN-folded inference path (models/resnet.fold_batch_norm).
+            self.eval_fn = make_inference_eval_fn(model, params)
         else:
             self.eval_fn = make_uniform_eval_fn(
                 self.env.num_actions, value_noise=0.1
@@ -50,6 +48,7 @@ class GameSession:
     def new_game(self):
         self.state = self.env.init()
         self.history = [self.state]
+        self.actions = []
 
     def _next_rng(self):
         self.rng, sub = self.jax.random.split(self.rng)
@@ -68,6 +67,7 @@ class GameSession:
             return False
         self.state = self.env.step(self.state, self.jax.numpy.asarray(action))
         self.history.append(self.state)
+        self.actions.append(int(action))
         return True
 
     def ai_move(self):
@@ -160,7 +160,46 @@ class GameSession:
         if len(self.history) <= 1:
             return False
         self.history.pop()
+        self.actions.pop()
         self.state = self.history[-1]
+        return True
+
+    def save_game(self, path: str):
+        """Save the current game as a GameRecord JSON (reference CLI
+        ``save``, include/alphazero/cli/cli_interface.h:110-121)."""
+        from alphazero_tpu.core.registry import game_type_of
+        from alphazero_tpu.selfplay.game_record import GameRecord
+
+        rec = GameRecord(
+            game_type=game_type_of(self.game),
+            board_size=getattr(self.env, "board_size",
+                               getattr(self.env, "size", 0)),
+        )
+        for a in self.actions:
+            rec.add_move(a, [], 0.0)
+        rec.set_result(int(self.env.result(self.state)))
+        rec.save(path)
+
+    def load_game(self, path: str) -> bool:
+        """Load a GameRecord JSON and replay its moves into this session
+        (reference CLI ``load``).  The record must be for the same game
+        type; returns False on mismatch or an illegal recorded move."""
+        from alphazero_tpu.core.registry import game_type_of
+        from alphazero_tpu.selfplay.game_record import GameRecord
+
+        rec = GameRecord.load(path)
+        if int(rec.game_type) != int(game_type_of(self.game)):
+            return False
+        saved_state, saved_hist, saved_acts = (
+            self.state, self.history, self.actions
+        )
+        self.new_game()
+        for m in rec.moves:
+            if not self.play(int(m.action)):
+                self.state, self.history, self.actions = (
+                    saved_state, saved_hist, saved_acts
+                )
+                return False
         return True
 
     def show(self) -> str:
@@ -188,6 +227,8 @@ HELP = """commands:
   show                    print the board
   info                    print game status as JSON
   setoption <name> <val>  set engine option (simulations, temperature)
+  save <path>             save the game as a GameRecord JSON
+  load <path>             load a saved game (replays its moves)
   benchmark               time one engine move
   quit                    exit
 """
@@ -227,6 +268,19 @@ def repl(session: GameSession):
         elif cmd == "setoption" and len(rest) == 2:
             session.options[rest[0]] = float(rest[1])
             print("ok")
+        elif cmd == "save" and rest:
+            try:
+                session.save_game(rest[0])
+                print("ok")
+            except OSError as e:
+                print(f"save failed: {e}")
+        elif cmd == "load" and rest:
+            try:
+                ok = session.load_game(rest[0])
+            except (OSError, ValueError, KeyError) as e:
+                print(f"load failed: {e}")
+            else:
+                print(session.show() if ok else "load failed: bad record")
         elif cmd == "benchmark":
             t0 = time.perf_counter()
             action, info = session.ai_move()

@@ -28,6 +28,16 @@ def registered_games():
     return sorted(_REGISTRY)
 
 
+def game_type_of(name: str) -> GameType:
+    """GameType for a registered game name (UNKNOWN for plugins that
+    registered without a builtin type)."""
+    _ensure_builtins()
+    for gt, n in _BY_TYPE.items():
+        if n == str(name).lower():
+            return gt
+    return GameType.UNKNOWN
+
+
 def create_game(name_or_type, board_size: int | None = None, **variant_args):
     """Create an environment by name ("gomoku"/"go"/"chess") or GameType.
 

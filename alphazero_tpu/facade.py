@@ -46,8 +46,19 @@ class AlphaZero:
     # ---- the reference facade surface -----------------------------------
 
     def run_self_play(self, num_games: int = 0):
-        """One self-play iteration (records go to the replay buffer)."""
-        return self.pipeline.run_iteration(0)
+        """Generate self-play games into the replay buffer (reference
+        ``runSelfPlay(numGames)``, AlphaZero.h:9-33).  Runs as many
+        actor iterations (of ``games_per_iteration`` each — the compiled
+        batch shape) as needed to produce at least ``num_games`` games;
+        ``num_games=0`` runs one configured iteration.  Returns the last
+        iteration's entry with a ``total_games`` tally."""
+        per_iter = self.config.games_per_iteration
+        iters = max(1, -(-int(num_games) // per_iter)) if num_games else 1
+        entry = None
+        for i in range(iters):
+            entry = self.pipeline.run_iteration(i)
+        entry["total_games"] = per_iter * iters
+        return entry
 
     def train_network(self, iterations: Optional[int] = None):
         return self.pipeline.run(iterations)
@@ -56,17 +67,17 @@ class AlphaZero:
                        simulations: int = 100):
         from alphazero_tpu.eval.arena import ArenaConfig, play_match
         from alphazero_tpu.mcts.search import MCTSConfig
+        from alphazero_tpu.models.resnet import make_inference_eval_fn
         from alphazero_tpu.models.stub import make_uniform_eval_fn
 
-        def eval_a(obs, to_play=None):
-            return self.model.apply(self.pipeline.state.params, obs)
-
+        eval_a = make_inference_eval_fn(
+            self.model, self.pipeline.state.params
+        )
         if other_params is None:
             eval_b = make_uniform_eval_fn(self.env.num_actions,
                                           value_noise=0.1)
         else:
-            def eval_b(obs, to_play=None):
-                return self.model.apply(other_params, obs)
+            eval_b = make_inference_eval_fn(self.model, other_params)
 
         cfg = ArenaConfig(
             mcts=MCTSConfig(num_simulations=simulations,
@@ -85,9 +96,11 @@ class AlphaZero:
     def get_best_action(self, state, simulations: int = 200,
                         rng: Optional[jax.Array] = None) -> int:
         from alphazero_tpu.mcts.search import MCTSConfig, search
+        from alphazero_tpu.models.resnet import make_inference_eval_fn
 
-        def eval_fn(obs, to_play=None):
-            return self.model.apply(self.pipeline.state.params, obs)
+        eval_fn = make_inference_eval_fn(
+            self.model, self.pipeline.state.params
+        )
 
         cfg = MCTSConfig(num_simulations=simulations, dirichlet_epsilon=0.0)
         batched = jax.tree_util.tree_map(lambda x: x[None], state)

@@ -866,7 +866,22 @@ class ChessEnv:
         return state.winner
 
     def position_hash(self, state: ChessState) -> jax.Array:
-        """u32 [2] situational Zobrist key (board + castling + en passant +
-        side to move) — the transposition-table identity (reference
-        ``getHash``)."""
-        return state.hash
+        """u32 [2] transposition-table identity.
+
+        The board Zobrist key (board + castling + en passant + side to
+        move, reference ``getHash``) is NOT sufficient as a TT identity
+        for chess: ``observation()`` feeds the NN a halfmove/100 plane and
+        a repetition/3 plane, so two states with equal board keys but
+        different 50-move clocks or repetition counts have different NN
+        evals.  Mix both into the key so a TT hit never substitutes a
+        (policy, value) computed under a different rule-horizon context
+        (position_hash is consumed only by the TT — the repetition ring
+        keys off ``state.hash`` directly and is unaffected)."""
+        extra = (
+            state.halfmove.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+            ^ state.rep_count.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+        )
+        return jnp.stack(
+            [state.hash[0] ^ extra,
+             state.hash[1] ^ (extra * jnp.uint32(0xC2B2AE3D) + jnp.uint32(1))]
+        )

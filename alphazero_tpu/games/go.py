@@ -171,23 +171,39 @@ def _min_label_flood(stones: jax.Array) -> jax.Array:
     idx = jnp.arange(n * n, dtype=jnp.int32).reshape(n, n)
     ids0 = jnp.where(stones, idx, big)
 
-    def nbr_min(x):
-        up = jnp.concatenate([x[1:], jnp.full((1, n), big, jnp.int32)], 0)
-        down = jnp.concatenate([jnp.full((1, n), big, jnp.int32), x[:-1]], 0)
-        left = jnp.concatenate(
-            [x[:, 1:], jnp.full((n, 1), big, jnp.int32)], 1
+    def scan_dir(x, axis, reverse):
+        # Segmented cumulative min within contiguous stone runs along one
+        # axis/direction: non-stone cells reset the run (boundary=True).
+        v = jnp.where(stones, x, big)
+        b = ~stones
+
+        def comb(a, c):
+            v1, b1 = a
+            v2, b2 = c
+            return (jnp.where(b2, v2, jnp.minimum(v1, v2)), b1 | b2)
+
+        vv, _ = jax.lax.associative_scan(
+            comb, (v, b), axis=axis, reverse=reverse
         )
-        right = jnp.concatenate(
-            [jnp.full((n, 1), big, jnp.int32), x[:, :-1]], 1
-        )
-        return jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
+        return vv
 
     def cond(c):
         return c[1]
 
     def body(c):
+        # One iteration propagates the min label along ENTIRE straight
+        # stone runs (4 segmented scans, each O(log n) elementwise steps),
+        # so convergence takes ~(#direction-changes on the worst min-label
+        # path) iterations — bounded by ~2n for any board, vs the O(n^2)
+        # worst case of single-step neighbor-min on snake-shaped dragons
+        # (advisor round 3).  Under vmap every lane pays the slowest
+        # lane's count, so the tail bound matters.
         x, _ = c
-        nx = jnp.where(stones, jnp.minimum(x, nbr_min(x)), big)
+        nx = x
+        for axis in (0, 1):
+            for rev in (False, True):
+                nx = jnp.minimum(nx, scan_dir(nx, axis, rev))
+        nx = jnp.where(stones, nx, big)
         return nx, jnp.any(nx != x)
 
     out, _ = jax.lax.while_loop(cond, body, (ids0, jnp.any(stones)))

@@ -51,9 +51,9 @@ def search_info(tree, game_index: int = 0) -> Dict:
     if getattr(tree, "tt", None) is not None:
         # Reference getSearchInfo's TT hit-rate block
         # (parallel_mcts.cpp:1319-1388).
-        hits = int(tree.tt.hits[game_index])
-        stores = int(tree.tt.stores[game_index])
-        lookups = hits + stores  # canonical expansions (hit or stored)
+        hits = int(tree.tt.hits[game_index])  # canonical-walker hits
+        stores = int(tree.tt.stores[game_index])  # store attempts (misses)
+        lookups = hits + stores  # == canonical expansions
         info["tt_hits"] = hits
         info["tt_stores"] = stores
         info["tt_hit_rate"] = round(hits / lookups, 4) if lookups else 0.0

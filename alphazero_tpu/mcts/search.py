@@ -363,8 +363,14 @@ def _tt_process(
         topv=jnp.where(wmask[..., None], new_topv.astype(jnp.bfloat16),
                        tt.topv),
         topa=jnp.where(wmask[..., None], new_topa, tt.topa),
-        hits=tt.hits + jnp.sum(hit, axis=1).astype(jnp.int32),
-        stores=tt.stores + jnp.sum(store, axis=1).astype(jnp.int32),
+        # Accounting on CANONICAL walkers only so hits + stores equals the
+        # number of canonical expansions and hits/(hits+stores) matches the
+        # reference's per-expansion hit rate: `hit & store_elig` excludes
+        # wave duplicates (which share the canonical walker's outcome), and
+        # `want` counts store *attempts* including those suppressed by the
+        # same-slot dedupe (each is still a canonical miss).
+        hits=tt.hits + jnp.sum(hit & store_elig, axis=1).astype(jnp.int32),
+        stores=tt.stores + jnp.sum(want, axis=1).astype(jnp.int32),
     )
     return tt, value2, topv2, topa2, hit
 

@@ -414,7 +414,7 @@ def _chunked_int8_eval(qp, obs, chunk, chunk_mode, residual="bf16",
 
 def make_int8_eval_params(model, variables, calib_obs=None, chunk: int = 512,
                           chunk_mode: str = "unroll",
-                          residual: str = "bf16"):
+                          residual: str = "bf16", heads: str = "bf16"):
     """Params-style int8 evaluator: returns ``(eval_fn, qp)`` where
     ``eval_fn(qp, obs, to_play)`` takes the quantized parameters as a jit
     ARGUMENT (use with ``make_host_actor(..., with_params=True)``).
@@ -428,14 +428,15 @@ def make_int8_eval_params(model, variables, calib_obs=None, chunk: int = 512,
     qp = build_quantized_params(model, variables, calib_obs)
 
     def eval_fn(params, obs, to_play=None):
-        return _chunked_int8_eval(params, obs, chunk, chunk_mode, residual)
+        return _chunked_int8_eval(params, obs, chunk, chunk_mode, residual,
+                                  heads)
 
     return eval_fn, qp
 
 
 def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512,
                       chunk_mode: str = "unroll", residual: str = "bf16",
-                      heads: str = "bf16"):
+                      heads: str = "bf16", fused: bool = False):
     """BN-fold, calibrate and quantize ``model`` into an int8 EvalFn.
 
     ``calib_obs``: observation array(s) for activation-range calibration;
@@ -449,9 +450,9 @@ def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512,
     heads 0.12->0.84 ms) while the pure conv chain stays linear.  The
     full-bench chunk sweep at the 15x15 trunk shape measured (moves/s):
     512: 849, 1024: 821, 256: 826, 128: 820, 2048: 32 — 512 is the
-    optimum and the default."""
-    """Closure-style int8 evaluator (qp baked as jit constants).
+    optimum and the default.
 
+    Closure-style int8 evaluator (qp baked as jit constants).
     The chunk loop is PYTHON-UNROLLED inside the caller's jit by default,
     not lax.map: the map while-loop re-stages the requant constants and
     serializes loop bookkeeping every iteration — measured 2.06 us/obs
@@ -459,6 +460,14 @@ def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512,
     (tools/profile_eval_r3.py, round 3).  Prefer make_int8_eval_params
     for hot loops (constants -> arguments)."""
     qp = build_quantized_params(model, variables, calib_obs)
+
+    if fused:
+        # Pallas fused residual-block trunk (ops/fused_resnet.py): the
+        # whole int8 conv chain runs with activations VMEM-resident,
+        # attacking the HBM-bandwidth bound of the per-op chain.
+        from alphazero_tpu.ops.fused_resnet import make_fused_eval_fn
+
+        return make_fused_eval_fn(qp, chunk=chunk or None, heads=heads)
 
     def eval_fn(obs, to_play=None):
         return _chunked_int8_eval(qp, obs, chunk, chunk_mode, residual,

@@ -13,13 +13,11 @@ def load_eval_fn(model_path, env):
 
         return make_uniform_eval_fn(env.num_actions, value_noise=0.1)
     from alphazero_tpu.models.io import load_model
+    from alphazero_tpu.models.resnet import make_inference_eval_fn
 
     model, params = load_model(model_path, env.observation_shape)
-
-    def eval_fn(obs, to_play=None):
-        return model.apply(params, obs)
-
-    return eval_fn
+    # BN-folded inference path (models/resnet.fold_batch_norm).
+    return make_inference_eval_fn(model, params)
 
 
 def main(argv=None):

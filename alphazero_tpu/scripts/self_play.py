@@ -46,11 +46,11 @@ def main(argv=None):
     env = registry.create_game(args.game, args.board_size)
     if args.model:
         from alphazero_tpu.models.io import load_model
+        from alphazero_tpu.models.resnet import make_inference_eval_fn
 
         model, params = load_model(args.model, env.observation_shape)
-
-        def eval_fn(obs, to_play=None):
-            return model.apply(params, obs)
+        # BN-folded inference path (models/resnet.fold_batch_norm).
+        eval_fn = make_inference_eval_fn(model, params)
     else:
         eval_fn = make_uniform_eval_fn(env.num_actions, value_noise=0.1)
 

@@ -69,6 +69,17 @@ class PipelineConfig:
     # (mcts/search.make_host_search) — ~3x faster than the scanned actor on
     # v5e, and games that all finish early stop the move loop.
     host_actor: bool = True
+    # Actor-side inference path: "folded" (BN folded into conv weights —
+    # exact, no normalization work on the hot path; the default), "int8"
+    # (quantized MXU trunk, ~2x conv throughput; models/quant.py), or
+    # "raw" (un-folded model.apply — debugging only).  The params ->
+    # eval-params transform runs ONCE per iteration as a jitted function
+    # and the actor takes the result as a runtime ARGUMENT, so learner
+    # weight refreshes never retrace the actor (make_int8_eval_params'
+    # stated purpose; reference analog: TorchScript FP16 deployment,
+    # torch_neural_network.cpp:267-269).
+    inference: str = "folded"
+    int8_chunk: int = 512
     seed: int = 0
 
 
@@ -104,16 +115,77 @@ class Pipeline:
         self.rng, sub = jax.random.split(self.rng)
         return sub
 
+    def _build_eval(self):
+        """Actor inference path (PipelineConfig.inference): returns an
+        ``eval_params(eval_params_tree, obs, to_play)`` EvalFn and sets
+        ``self._eval_transform`` (jitted params -> eval-params tree)."""
+        import jax.numpy as jnp
+
+        cfg, model, env = self.config, self.model, self.env
+        mode = cfg.inference
+        if mode not in ("raw", "folded", "int8"):
+            raise ValueError(f"unknown inference mode {mode!r}")
+        if mode != "raw" and model.cfg.norm not in ("batch", "none"):
+            log.warning("inference=%s needs a batch/none-norm model; "
+                        "falling back to raw", mode)
+            mode = "raw"
+
+        if mode == "raw":
+            self._eval_transform = lambda v: v
+
+            def eval_params(params, obs, to_play=None):
+                return model.apply(params, obs)
+
+            return eval_params
+
+        if mode == "int8":
+            from alphazero_tpu.models import quant
+
+            calib = jax.vmap(env.observation)(
+                jax.vmap(lambda _: env.init())(jnp.arange(8))
+            )
+            chunk = cfg.int8_chunk or None
+
+            self._eval_transform = jax.jit(
+                lambda v: quant.build_quantized_params(model, v, calib)
+            )
+
+            def eval_params(qp, obs, to_play=None):
+                return quant._chunked_int8_eval(
+                    qp, obs, chunk, "unroll", residual="int8"
+                )
+
+            return eval_params
+
+        # "folded": BN-folded bf16 (exact).
+        if model.cfg.norm == "none":
+            self._eval_transform = lambda v: v
+            folded_model = model
+        else:
+            from alphazero_tpu.models.resnet import fold_batch_norm
+
+            folded_model = AZResNet(
+                num_actions=env.num_actions,
+                cfg=dataclasses.replace(model.cfg, norm="none"),
+            )
+            self._eval_transform = jax.jit(
+                lambda v: fold_batch_norm(model, v)[1]
+            )
+
+        def eval_params(fv, obs, to_play=None):
+            return folded_model.apply(fv, obs)
+
+        return eval_params
+
     def _build_jits(self):
         env, cfg, model = self.env, self.config, self.model
         repl = meshlib.replicated(self.mesh)
         dsh = meshlib.data_sharding(self.mesh)
 
+        eval_params = self._build_eval()
+
         if cfg.host_actor:
             from alphazero_tpu.selfplay.actor import make_host_actor
-
-            def eval_params(params, obs, to_play):
-                return model.apply(params, obs)
 
             self._host_step, self._host_init = make_host_actor(
                 env, eval_params, cfg.selfplay, cfg.games_per_iteration,
@@ -137,7 +209,7 @@ class Pipeline:
 
             def actor_fn(params, rng):
                 def eval_fn(obs, to_play=None):
-                    return model.apply(params, obs)
+                    return eval_params(params, obs, to_play)
 
                 return play_games(
                     env, eval_fn, rng, cfg.selfplay,
@@ -294,7 +366,10 @@ class Pipeline:
 
     def run_iteration(self, it: int) -> Dict:
         t0 = time.perf_counter()
-        out = self._actor(self.state.params, self._next_rng())
+        # Refresh the actor's inference parameters from the learner weights
+        # (BN-fold and/or quantize; jitted, no actor retrace).
+        eval_tree = self._eval_transform(self.state.params)
+        out = self._actor(eval_tree, self._next_rng())
         jax.block_until_ready(out.winner)
         actor_s = time.perf_counter() - t0
 

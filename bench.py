@@ -3,12 +3,23 @@
 Measures moves/s/chip on Gomoku 15x15 with 800-simulation MCTS — the
 reference's stock demo configuration (``data/games/proc_0/selfplay.log:1-16``:
 800 sims, batch 8, FP16, 18 threads; its selfplay binary prints moves/sec,
-``src/selfplay/selfplay_main.cpp:128-154``).  Baseline: the reference PRD
-targets >=50 Gomoku games/min at ~40-50 moves/game => ~40 moves/s on
-8 CPU threads + 1 GPU (BASELINE.md).  vs_baseline is measured against that
-40 moves/s figure.
+``src/selfplay/selfplay_main.cpp:128-154``).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Two regimes, both measured every run (VERDICT r3 #9):
+  * opening — the first 16 moves from the empty board (shallow trees,
+    depth-biased upward); this is ``value`` for round-over-round
+    comparability with BENCH_r01-r03.
+  * midgame — the same 16 searched moves from positions advanced 40 plies
+    by cheap policy sampling; the honest sustained figure, reported as
+    ``midgame`` in the same JSON line.
+
+Baselines (BASELINE.md): ``vs_baseline`` divides by the PRD-derived
+40 moves/s (reference PRD.md:13 aspiration).  ``vs_reference_measured``
+divides by the MEASURED throughput of the parity-patched reference
+selfplay binary on this host's CPU when tools/parity/ has produced one
+(tools/parity/reference_baseline.json), else is omitted.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 from __future__ import annotations
 
@@ -18,6 +29,10 @@ import sys
 import time
 
 BASELINE_MOVES_PER_S = 40.0
+REF_MEASURED_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tools", "parity", "reference_baseline.json",
+)
 
 
 def main():
@@ -31,6 +46,8 @@ def main():
     wave = int(os.environ.get("BENCH_WAVE", "16"))
     game = os.environ.get("BENCH_GAME", "gomoku")
     board = int(os.environ.get("BENCH_BOARD", "15"))
+    # "both" (default) | "opening" | "midgame"
+    mode = os.environ.get("BENCH_MODE", "both")
 
     import jax
 
@@ -75,7 +92,7 @@ def main():
         chunk = int(os.environ.get("BENCH_CHUNK", "512"))
         # BENCH_CHUNK_MODE: "unroll" (python-unrolled chunk loop, default)
         # or "map" (lax.map) — see models/quant.make_int8_eval_fn.
-        mode = os.environ.get("BENCH_CHUNK_MODE", "unroll")
+        cmode = os.environ.get("BENCH_CHUNK_MODE", "unroll")
         # BENCH_QP_ARGS=1: quantized params as jit ARGUMENTS
         # (make_int8_eval_params) instead of baked trace constants.
         # Measured a big LOSS (547 vs 766 moves/s): the ~500 tiny
@@ -88,7 +105,7 @@ def main():
 
             eval_fn, eval_params = make_int8_eval_params(
                 model, params, calib_obs=calib, chunk=chunk or None,
-                chunk_mode=mode)
+                chunk_mode=cmode)
         else:
             # BENCH_RESIDUAL: "int8" (default — s8-only trunk stream; the
             # conv chain is HBM-bandwidth-bound and the bf16 master copy
@@ -99,9 +116,14 @@ def main():
             # activation (no final bf16 trunk copy); "bf16" keeps them on
             # the bf16 stream.
             heads = os.environ.get("BENCH_HEADS", "bf16")
+            # BENCH_FUSED=1: Pallas fused residual-block trunk
+            # (ops/fused_resnet.py) — cross-conv fusion keeping the s8
+            # activations VMEM-resident.
+            fused = os.environ.get("BENCH_FUSED", "0") == "1"
             eval_fn = make_int8_eval_fn(model, params, calib_obs=calib,
-                                        chunk=chunk or None, chunk_mode=mode,
-                                        residual=resid, heads=heads)
+                                        chunk=chunk or None, chunk_mode=cmode,
+                                        residual=resid, heads=heads,
+                                        fused=fused)
     else:
         # BN-folded bf16 inference (models/resnet.fold_batch_norm).
         eval_fn = make_inference_eval_fn(model, params)
@@ -121,21 +143,21 @@ def main():
     # Host-driven actor: per-sim executables with donated arenas (see
     # mcts/search.make_host_search) — measured ~3x over the scanned loop.
     with_params = eval_params is not None
-    _step, states = make_host_actor(env, eval_fn, config, batch,
-                                    with_params=with_params)
+    _step, init_states = make_host_actor(env, eval_fn, config, batch,
+                                         with_params=with_params)
     if with_params:
         def step(s, r, _p=eval_params, _f=_step):
             return _f(_p, s, r)
         step.search = getattr(_step, "search", None)
     else:
         step = _step
-    r0 = jax.random.key(0)
 
-    # BENCH_MODE=midgame (VERDICT r1 #9): the opening-16-moves figure is
-    # depth-biased (descents average ~2 iterations on shallow trees).
-    # Advance every game 40 plies with cheap policy-sampled moves first,
-    # then time the same 16 searched moves from mid-game positions.
-    if os.environ.get("BENCH_MODE", "") == "midgame":
+    def fresh_states():
+        return jax.vmap(lambda _: env.init())(jnp.arange(batch))
+
+    def advance_midgame(states, plies=40):
+        """Advance every game ``plies`` cheap policy-sampled moves — the
+        midgame regime (VERDICT r1 #9: opening-16 is depth-biased)."""
         from alphazero_tpu.mcts.search import masked_softmax
 
         @jax.jit
@@ -151,48 +173,70 @@ def main():
             acts = jax.random.categorical(rng, jnp.log(probs + 1e-9))
             return jax.vmap(env.step)(states, acts.astype(jnp.int32))
 
-        for i in range(40):
+        for i in range(plies):
             states = policy_move(states, jax.random.key(1000 + i))
         jax.block_until_ready(states.move_count)
+        return states
 
-    # Warmup/compile.
-    t0 = time.perf_counter()
-    states, rec = step(states, jax.random.key(1))
-    jax.block_until_ready(rec.action)
-    compile_s = time.perf_counter() - t0
+    def timed_run(states):
+        """Warmup one move (compile), then time ``moves`` searched moves.
+        Returns (moves_per_s, fresh_sims_per_move, elapsed, compile_s)."""
+        if hasattr(step, "reset"):
+            step.reset()
+        t0 = time.perf_counter()
+        st, rec = step(states, jax.random.key(1))
+        jax.block_until_ready(rec.action)
+        compile_s = time.perf_counter() - t0
 
-    # Timed run.
-    done_moves = 0
-    fresh_sims = 0
-    t0 = time.perf_counter()
-    for i in range(moves):
-        states, rec = step(states, jax.random.key(2 + i))
-        done_moves += int(jnp.sum(rec.active))
-        fresh_sims += getattr(step.search, "last_fresh_sims", sims)
-    jax.block_until_ready(rec.action)
-    elapsed = time.perf_counter() - t0
+        done_moves = 0
+        fresh_sims = 0
+        t0 = time.perf_counter()
+        for i in range(moves):
+            st, rec = step(st, jax.random.key(2 + i))
+            done_moves += int(jnp.sum(rec.active))
+            fresh_sims += getattr(step.search, "last_fresh_sims", sims)
+        jax.block_until_ready(rec.action)
+        elapsed = time.perf_counter() - t0
+        return (done_moves / elapsed, fresh_sims / max(1, moves),
+                elapsed, compile_s)
 
-    moves_per_s = done_moves / elapsed
-    suffix = (
-        "_midgame" if os.environ.get("BENCH_MODE", "") == "midgame" else ""
-    )
+    results = {}
+    if mode in ("both", "opening"):
+        results["opening"] = timed_run(init_states)
+    if mode in ("both", "midgame"):
+        results["midgame"] = timed_run(advance_midgame(fresh_states()))
+
+    primary = "opening" if "opening" in results else "midgame"
+    mps, fresh, elapsed, compile_s = results[primary]
+    suffix = "_midgame" if primary == "midgame" else ""
     result = {
         "metric": (
             f"selfplay_moves_per_s_per_chip_{game}{board}_{sims}sims{suffix}"
         ),
-        "value": round(moves_per_s, 2),
+        "value": round(mps, 2),
         "unit": "moves/s",
-        "vs_baseline": round(moves_per_s / BASELINE_MOVES_PER_S, 2),
+        "vs_baseline": round(mps / BASELINE_MOVES_PER_S, 2),
     }
+    if "midgame" in results and primary == "opening":
+        mid = results["midgame"][0]
+        result["midgame"] = round(mid, 2)
+        result["midgame_vs_baseline"] = round(mid / BASELINE_MOVES_PER_S, 2)
+    if os.path.exists(REF_MEASURED_PATH):
+        with open(REF_MEASURED_PATH) as f:
+            ref = json.load(f)
+        ref_mps = float(ref.get("moves_per_s", 0) or 0)
+        if ref_mps > 0:
+            result["reference_measured_moves_per_s"] = ref_mps
+            result["vs_reference_measured"] = round(mps / ref_mps, 2)
     print(json.dumps(result))
-    print(
-        f"# batch={batch} sims={sims} timed_moves={moves} reuse={reuse} "
-        f"wave={wave} "
-        f"fresh_sims/move={fresh_sims / max(1, moves):.0f} "
-        f"elapsed={elapsed:.1f}s compile={compile_s:.1f}s "
-        f"sims/s={batch * fresh_sims / elapsed:,.0f}",
-        file=sys.stderr,
-    )
+    for name, (m, fr, el, co) in results.items():
+        print(
+            f"# {name}: {m:.1f} moves/s batch={batch} sims={sims} "
+            f"timed_moves={moves} reuse={reuse} wave={wave} "
+            f"fresh_sims/move={fr:.0f} elapsed={el:.1f}s compile={co:.1f}s "
+            f"sims/s={batch * fr * moves / el:,.0f}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -37,6 +37,13 @@ class TestFacade:
         action = az.get_best_action(state, simulations=8)
         assert 0 <= action < az.env.num_actions
 
+    def test_run_self_play_honors_num_games(self, tmp_path):
+        az = AlphaZero(tiny(tmp_path))
+        # games_per_iteration=4; asking for 6 games runs 2 iterations.
+        entry = az.run_self_play(num_games=6)
+        assert entry["total_games"] == 8
+        assert entry["iteration"] == 1
+
     def test_evaluate_and_save(self, tmp_path):
         az = AlphaZero(tiny(tmp_path))
         res = az.evaluate_model(num_games=4, simulations=4)

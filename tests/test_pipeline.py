@@ -114,6 +114,43 @@ assert "loss" in e2, e2  # enough replay to train by iteration 2
 assert int(pipe.state.step) in (4, 8), int(pipe.state.step)
 """, tmp_path)
 
+    def test_inference_modes(self, tmp_path):
+        """The production actor runs the fast inference path (VERDICT r3
+        #3): the default "folded" transform must agree with raw
+        model.apply, and an int8 iteration must run end-to-end with the
+        quantized params refreshed from the learner weights."""
+        run_pipeline_script("""
+import jax, dataclasses
+import jax.numpy as jnp
+import numpy as np
+
+cfg = tiny_config({tmp!r}, iterations=1)
+assert cfg.inference == "folded"  # production default
+pipe = Pipeline(cfg)
+
+# Folded eval == raw eval on real observations (BN-fold exactness).
+obs = jax.vmap(pipe.env.observation)(
+    jax.vmap(lambda _: pipe.env.init())(jnp.arange(4))
+)
+lf, vf = pipe.model.apply(pipe.state.params, obs)
+ev = pipe._eval_transform(pipe.state.params)
+from alphazero_tpu.models.resnet import AZResNet
+folded = AZResNet(num_actions=pipe.env.num_actions,
+                  cfg=dataclasses.replace(cfg.model, norm="none"))
+lg, vg = folded.apply(ev, obs)
+np.testing.assert_allclose(np.asarray(lf), np.asarray(lg),
+                           atol=2e-2, rtol=1e-2)
+np.testing.assert_allclose(np.asarray(vf), np.asarray(vg), atol=2e-2)
+e = pipe.run_iteration(0)
+assert e["moves"] > 0, e
+
+# int8 mode: quantized actor iteration end-to-end.
+pipe8 = Pipeline(tiny_config({tmp!r}, iterations=1, inference="int8",
+                             int8_chunk=0))
+e8 = pipe8.run_iteration(0)
+assert e8["moves"] > 0, e8
+""", tmp_path)
+
     def test_checkpoint_roundtrip(self, tmp_path):
         run_pipeline_script("""
 import numpy as np

@@ -60,6 +60,28 @@ class TestGameSession:
         assert info["visits"] == 12
 
 
+    def test_save_load_roundtrip(self, tmp_path):
+        """Reference CLI save/load (cli_interface.h:110-121) backed by
+        GameRecord JSON."""
+        sess = GameSession(game="gomoku", board_size=5, simulations=4)
+        for a in (12, 7, 13):
+            assert sess.play(a)
+        path = str(tmp_path / "game.json")
+        sess.save_game(path)
+
+        sess2 = GameSession(game="gomoku", board_size=5, simulations=4)
+        assert sess2.load_game(path)
+        assert sess2.info()["move_count"] == 3
+        import numpy as np
+        np.testing.assert_array_equal(
+            np.asarray(sess.state.board), np.asarray(sess2.state.board)
+        )
+        # Wrong game type is rejected without clobbering the session.
+        sess3 = GameSession(game="chess", board_size=8, simulations=4)
+        assert not sess3.load_game(path)
+        assert sess3.info()["move_count"] == 0
+
+
 class TestModelIO:
     def test_roundtrip(self, tmp_path):
         from alphazero_tpu.models.io import load_model, save_model

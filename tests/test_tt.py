@@ -166,3 +166,69 @@ def test_tt_survives_reroot():
     tree2 = S.reroot(env, out.tree, action, new_states, logits, value,
                      config)
     assert int(tree2.tt.stores.sum()) == stores_before
+
+
+def test_chess_tt_key_includes_rule_context():
+    """Two chess states with identical boards but different halfmove
+    clocks / repetition counts must get DIFFERENT TT keys: observation()
+    feeds halfmove/100 and repetition/3 planes to the NN, so a TT hit
+    across those contexts would substitute a wrong eval (advisor round 3;
+    chess.py position_hash)."""
+    from alphazero_tpu.games.chess_tables import encode_move
+
+    env = registry.create_game("chess")
+    s0 = env.init()
+    s = s0
+    # Ng1-f3 Ng8-f6 Nf3-g1 Nf6-g8: back to the initial board with
+    # halfmove=4 and the start position repeated once.
+    for frm, to in ((6, 21), (62, 45), (21, 6), (45, 62)):
+        s = env.step(s, jnp.int32(encode_move(frm, to, None)))
+    assert np.array_equal(np.asarray(s.board), np.asarray(s0.board))
+    assert np.array_equal(np.asarray(s.hash), np.asarray(s0.hash))
+    assert int(s.halfmove) == 4 and int(s.rep_count) >= 1
+    k0 = np.asarray(env.position_hash(s0))
+    k1 = np.asarray(env.position_hash(s))
+    assert not np.array_equal(k0, k1)
+
+
+def test_chess_search_invariant_with_tt():
+    """TT on/off must agree on chess too (the key now carries the
+    halfmove/repetition context, so no aliased substitutions)."""
+    env = registry.create_game("chess")
+    eval_fn = make_uniform_eval_fn(env.num_actions, value_noise=0.1)
+    states = _batched_init(env, 2)
+    rng = jax.random.key(3)
+    kw = dict(num_simulations=48, wave_size=4, max_children=8)
+    out_on = jax.jit(
+        lambda s, r: search(env, eval_fn, s, r,
+                            MCTSConfig(tt_size=512, **kw))
+    )(states, rng)
+    out_off = jax.jit(
+        lambda s, r: search(env, eval_fn, s, r, MCTSConfig(**kw))
+    )(states, rng)
+    a = np.asarray(out_on.visit_counts, np.float32)
+    b = np.asarray(out_off.visit_counts, np.float32)
+    l1 = np.abs(a - b).sum(axis=-1)
+    assert (l1 <= 0.05 * a.sum(axis=-1)).all(), (a, b)
+    assert int(out_on.tree.tt.stores.sum()) > 0
+
+
+def test_tt_hit_rate_accounting_canonical():
+    """hits + stores must equal the number of canonical (non-duplicate)
+    expansions, so the hit rate matches the reference's per-expansion
+    definition (advisor round 3; search._tt_process accounting)."""
+    env = registry.create_game("gomoku", 4)
+    eval_fn = make_uniform_eval_fn(env.num_actions, value_noise=0.1)
+    states = _batched_init(env, 1)
+    out = jax.jit(
+        lambda s, r: search(
+            env, eval_fn, s, r,
+            MCTSConfig(num_simulations=64, wave_size=4, tt_size=256,
+                       max_children=8),
+        )
+    )(states, jax.random.key(0))
+    hits = int(out.tree.tt.hits.sum())
+    stores = int(out.tree.tt.stores.sum())
+    # 64 sims expand at most 64 canonical nodes; duplicates and terminal
+    # walkers are excluded from both counters.
+    assert 0 < hits + stores <= 64, (hits, stores)
