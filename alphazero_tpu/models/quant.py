@@ -436,7 +436,7 @@ def make_int8_eval_params(model, variables, calib_obs=None, chunk: int = 512,
 
 def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512,
                       chunk_mode: str = "unroll", residual: str = "bf16",
-                      heads: str = "bf16", fused: bool = False):
+                      heads: str = "bf16"):
     """BN-fold, calibrate and quantize ``model`` into an int8 EvalFn.
 
     ``calib_obs``: observation array(s) for activation-range calibration;
@@ -460,14 +460,6 @@ def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512,
     (tools/profile_eval_r3.py, round 3).  Prefer make_int8_eval_params
     for hot loops (constants -> arguments)."""
     qp = build_quantized_params(model, variables, calib_obs)
-
-    if fused:
-        # Pallas fused residual-block trunk (ops/fused_resnet.py): the
-        # whole int8 conv chain runs with activations VMEM-resident,
-        # attacking the HBM-bandwidth bound of the per-op chain.
-        from alphazero_tpu.ops.fused_resnet import make_fused_eval_fn
-
-        return make_fused_eval_fn(qp, chunk=chunk or None, heads=heads)
 
     def eval_fn(obs, to_play=None):
         return _chunked_int8_eval(qp, obs, chunk, chunk_mode, residual,

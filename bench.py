@@ -114,16 +114,12 @@ def main():
             resid = os.environ.get("BENCH_RESIDUAL", "int8")
             # BENCH_HEADS: "int8" runs the 1x1 head convs on the s8 trunk
             # activation (no final bf16 trunk copy); "bf16" keeps them on
-            # the bf16 stream.
+            # the bf16 stream.  (A Pallas fused-trunk variant was probed
+            # and rejected on measurement — BENCHLOG round 4.)
             heads = os.environ.get("BENCH_HEADS", "bf16")
-            # BENCH_FUSED=1: Pallas fused residual-block trunk
-            # (ops/fused_resnet.py) — cross-conv fusion keeping the s8
-            # activations VMEM-resident.
-            fused = os.environ.get("BENCH_FUSED", "0") == "1"
             eval_fn = make_int8_eval_fn(model, params, calib_obs=calib,
                                         chunk=chunk or None, chunk_mode=cmode,
-                                        residual=resid, heads=heads,
-                                        fused=fused)
+                                        residual=resid, heads=heads)
     else:
         # BN-folded bf16 inference (models/resnet.fold_batch_norm).
         eval_fn = make_inference_eval_fn(model, params)

@@ -25,9 +25,7 @@ def chained_dot(BM, K, N, R, dtype=jnp.int8):
     acc_t = jnp.int32 if dtype == jnp.int8 else jnp.float32
 
     def kernel(a_ref, b_ref, o_ref):
-        a = a_ref[:]
-        acc = jnp.zeros((BM, N), acc_t)
-        for r in range(R):
+        def body(r, a):
             acc = jax.lax.dot_general(
                 a, b_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=acc_t,
@@ -37,8 +35,13 @@ def chained_dot(BM, K, N, R, dtype=jnp.int8):
                 d = (acc >> 8).astype(jnp.int8)
             else:
                 d = (acc * 0.001).astype(dtype)
-            a = jnp.concatenate([d] * (K // N), axis=1) if K != N else d
-        o_ref[:] = acc
+            return jnp.concatenate([d] * (K // N), axis=1) if K != N else d
+
+        a = jax.lax.fori_loop(0, R, body, a_ref[:])
+        o_ref[:] = jax.lax.dot_general(
+            a, b_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_t,
+        )
 
     return pl.pallas_call(
         kernel,
@@ -52,7 +55,7 @@ def sync(x):
     return float(jnp.sum(jnp.abs(x.astype(jnp.float32))))
 
 
-def probe(BM, K, N, dtype=jnp.int8, r1=400, r2=4000, reps=3):
+def probe(BM, K, N, dtype=jnp.int8, r1=50_000, r2=500_000, reps=3):
     rng = np.random.default_rng(0)
     if dtype == jnp.int8:
         a0 = jnp.asarray(rng.integers(-127, 128, (BM, K)), jnp.int8)
