@@ -65,6 +65,10 @@ def main(argv=None):
     p.add_argument("--output", default="model.msgpack")
     p.add_argument("--package", default=None,
                    help="also write a distribution zip here")
+    p.add_argument("--torchscript", default=None,
+                   help="also export a TorchScript .pt here (the external "
+                   "interchange format; loadable by any LibTorch runtime, "
+                   "including the reference's TorchNeuralNetwork)")
     args = p.parse_args(argv)
 
     step = export_from_checkpoint(
@@ -72,6 +76,28 @@ def main(argv=None):
         args.blocks, args.channels, args.step,
     )
     out = {"bundle": args.output, "checkpoint_step": step}
+    if args.torchscript:
+        import jax
+        import jax.numpy as jnp
+
+        from alphazero_tpu.core import registry
+        from alphazero_tpu.models.export_torch import (
+            export_torchscript,
+            verify_export,
+        )
+        from alphazero_tpu.models.io import load_model
+
+        env = registry.create_game(args.game, args.board_size)
+        model, params = load_model(args.output, env.observation_shape)
+        export_torchscript(model, params, env.observation_shape,
+                           args.torchscript)
+        obs = jax.vmap(env.observation)(
+            jax.vmap(lambda _: env.init())(jnp.arange(4))
+        )
+        out["torchscript"] = args.torchscript
+        out["torchscript_parity"] = verify_export(
+            model, params, obs, args.torchscript
+        )
     if args.package:
         package(args.output, args.package,
                 {"game": args.game, "board_size": args.board_size,
