@@ -1935,6 +1935,7 @@ class HostReuseSearch:
     def reset(self):
         self._tree = None
         self._last_action = None
+        self._advanced = False
         self._move_idx = 0
         self.last_fresh_sims = 0  # diagnostics: sims run on the last move
 
@@ -1943,18 +1944,45 @@ class HostReuseSearch:
         re-roots on it."""
         self._last_action = action
 
+    def advance(self, params, action, new_states, rng, noise_on=False):
+        """Re-root the kept tree through one played action WITHOUT
+        searching — used by arenas to carry the tree through the
+        OPPONENT's move (the reference applies updateWithMove on every
+        move of the game, own and opponent alike,
+        self_play_manager.cpp:205-211).  No-op before the first search."""
+        if self._tree is None:
+            return
+        self._tree = self._reroot_fn(
+            params, self._tree, jnp.asarray(action, jnp.int32), new_states,
+            rng, jnp.asarray(noise_on, bool),
+        )
+        self._last_action = None
+        self._advanced = True
+        self._move_idx += 1
+
     def run(self, params, root_states, rng) -> SearchOutput:
         cfg = self.config
         sims = cfg.num_simulations
-        if self._tree is None or self._last_action is None:
+        if self._tree is None:
+            tree = self._init_fn(params, root_states, rng)
+            start, n_new = 1, sims
+        elif self._last_action is None and not self._advanced:
+            # Unrelated root states without notify/advance: fresh tree.
             tree = self._init_fn(params, root_states, rng)
             start, n_new = 1, sims
         else:
-            noise_on = jnp.asarray(
-                self._move_idx % max(1, cfg.renoise_every) == 0, bool
-            )
-            tree = self._reroot_fn(params, self._tree, self._last_action,
-                                   root_states, rng, noise_on)
+            if self._last_action is not None:
+                noise_on = jnp.asarray(
+                    self._move_idx % max(1, cfg.renoise_every) == 0, bool
+                )
+                tree = self._reroot_fn(params, self._tree,
+                                       self._last_action, root_states, rng,
+                                       noise_on)
+            else:
+                # Caller already re-rooted through the played moves via
+                # ``advance`` (arena path) — the kept tree is rooted at
+                # root_states.
+                tree = self._tree
             start = min(cfg.reuse_cap, tree.visits.shape[1])
             if cfg.reuse_budget == "topup":
                 reused = int(self._min_root_visits(tree))
@@ -1968,6 +1996,7 @@ class HostReuseSearch:
         counts, weights, root_value = self._finalize_fn(tree)
         self._tree = tree
         self._last_action = None
+        self._advanced = False
         self._move_idx += 1
         self.last_fresh_sims = n_new
         return SearchOutput(

@@ -146,6 +146,15 @@ def main():
         json.dump(payload, f, indent=2)
     print(f"wrote {out_json}", flush=True)
 
+    # Final weights as a loadable bundle (input to the arena A/Bs and to
+    # scripts/export_model.py --torchscript).
+    from alphazero_tpu.models.io import save_model
+
+    bundle = os.environ.get("FLAG_MODEL_OUT", "/tmp/flagship_gomoku15")
+    save_model(bundle, pipe.state.params, "resnet", pipe.env.num_actions,
+               cfg.model)
+    print(f"wrote {bundle} (+.json)", flush=True)
+
     try:
         from alphazero_tpu.utils.visualization import (
             plot_elo_history,
