@@ -227,7 +227,14 @@ def _tap_sums(xq):
     of the input cells a SAME-padded 3x3 conv tap ``(ky, kx)`` touches over
     ALL output positions.  Output position p reads input row ``p + ky - 1``,
     so tap (ky, kx) covers every cell except one border row/column —
-    inclusion-exclusion over (total, border rows/cols, corners)."""
+    inclusion-exclusion over (total, border rows/cols, corners).
+
+    NOTE a round-4 rewrite as two fused reduce passes (per-row/per-column
+    i32 partial sums instead of astype(int32) + five reductions) measured
+    FASTER standalone (tools/profile_eval_r4.py: full eval 552->505
+    us/chunk) but 3.4% SLOWER end-to-end in the production wave step
+    (809.8 -> 782 moves/s, adjacent quick benches) — inside the larger
+    search graph XLA fuses the astype form better.  Kept as measured."""
     x = xq.astype(jnp.int32)
     total = x.sum((1, 2))  # [B,C]
     r0, rl = x[:, 0].sum(1), x[:, -1].sum(1)

@@ -135,3 +135,30 @@ class TestParamsStyleEval:
             l2, v2 = jax.jit(fn)(qp, obs)
             np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
             np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+    def test_params_eval_heads_parity(self):
+        """heads= threads through make_int8_eval_params (advisor r3):
+        the params path must match the closure path for int8 heads too."""
+        from alphazero_tpu.models.quant import (
+            make_int8_eval_fn, make_int8_eval_params,
+        )
+
+        cfg = ResNetConfig(num_blocks=2, channels=16)
+        model = AZResNet(num_actions=49, cfg=cfg)
+        obs_shape = (11, 7, 7)
+        params = model.init(
+            jax.random.key(0), jnp.zeros((1,) + obs_shape, jnp.float32)
+        )
+        calib = jax.random.uniform(jax.random.key(1), (8,) + obs_shape)
+        obs = jax.random.uniform(jax.random.key(2), (8,) + obs_shape)
+
+        closure = make_int8_eval_fn(
+            model, params, calib_obs=calib, chunk=None,
+            residual="int8", heads="int8")
+        fn, qp = make_int8_eval_params(
+            model, params, calib_obs=calib, chunk=None,
+            residual="int8", heads="int8")
+        l1, v1 = jax.jit(closure)(obs)
+        l2, v2 = jax.jit(fn)(qp, obs)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
