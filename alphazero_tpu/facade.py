@@ -111,5 +111,6 @@ class AlphaZero:
     def save(self, path: str):
         from alphazero_tpu.models.io import save_model
 
-        save_model(path, self.pipeline.state.params, "resnet",
-                   self.env.num_actions, self.config.model)
+        save_model(path, self.pipeline.state.params,
+                   getattr(self.config, "model_kind", "resnet"),
+                   self.env.num_actions, self.pipeline.model.cfg)

@@ -51,6 +51,11 @@ class PipelineConfig:
     game_options: tuple = ()  # sorted (key, value) pairs for the env ctor
 
     model: ResNetConfig = ResNetConfig()
+    # Model family: "resnet" (SE-ResNet flagship, configured by `model`)
+    # or "randwire" (DDWRandWireResNet — the reference's canonical family,
+    # configured by `model_options` kv pairs -> models/randwire.RandWireConfig).
+    model_kind: str = "resnet"
+    model_options: tuple = ()
     selfplay: SelfPlayConfig = SelfPlayConfig()
     learner: LearnerConfig = LearnerConfig()
 
@@ -93,9 +98,17 @@ class Pipeline:
             config.game, config.board_size, **dict(config.game_options)
         )
         self.mesh = mesh if mesh is not None else meshlib.make_mesh()
-        self.model = AZResNet(
-            num_actions=self.env.num_actions, cfg=config.model
-        )
+        if config.model_kind == "resnet":
+            self.model = AZResNet(
+                num_actions=self.env.num_actions, cfg=config.model
+            )
+        else:
+            from alphazero_tpu.models.io import build_model
+
+            self.model, _ = build_model(
+                config.model_kind, self.env.num_actions,
+                dict(config.model_options),
+            )
         self.rng = jax.random.key(config.seed)
 
         self.state, self.tx = create_train_state(
@@ -125,9 +138,11 @@ class Pipeline:
         mode = cfg.inference
         if mode not in ("raw", "folded", "int8"):
             raise ValueError(f"unknown inference mode {mode!r}")
-        if mode != "raw" and model.cfg.norm not in ("batch", "none"):
-            log.warning("inference=%s needs a batch/none-norm model; "
-                        "falling back to raw", mode)
+        norm = getattr(model.cfg, "norm", None)
+        if mode != "raw" and norm not in ("batch", "none"):
+            log.warning("inference=%s needs a batch/none-norm AZResNet; "
+                        "falling back to raw for %s", mode,
+                        type(model).__name__)
             mode = "raw"
 
         if mode == "raw":

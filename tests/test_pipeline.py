@@ -151,6 +151,21 @@ e8 = pipe8.run_iteration(0)
 assert e8["moves"] > 0, e8
 """, tmp_path)
 
+    def test_randwire_pipeline(self, tmp_path):
+        """model_kind="randwire" runs the reference's canonical model
+        family through the production pipeline (inference falls back to
+        raw for non-foldable models)."""
+        run_pipeline_script("""
+cfg = tiny_config({tmp!r}, iterations=1,
+                  model_kind="randwire",
+                  model_options=(("num_blocks", 1),
+                                 ("nodes_per_block", 3),
+                                 ("channels", 16)))
+pipe = Pipeline(cfg)
+e = pipe.run_iteration(0)
+assert e["moves"] > 0, e
+""", tmp_path)
+
     def test_checkpoint_roundtrip(self, tmp_path):
         run_pipeline_script("""
 import numpy as np
