@@ -121,15 +121,20 @@ def _conv1x1(x, w):
     return y + w["bias"].astype(jnp.bfloat16)
 
 
-def forward_bf16(fp, obs, collect_stats: bool = False):
+def forward_bf16(fp, obs, collect_stats: bool = False,
+                 percentile: float = 0.0):
     """Folded bf16 forward (NCHW obs).  With ``collect_stats`` also returns
-    the per-quant-point activation maxima used for calibration."""
+    the per-quant-point activation maxima used for calibration (or the
+    given abs-activation ``percentile`` in (0, 100) — clipping calibration,
+    trades outlier range for bulk resolution)."""
     x = jnp.transpose(obs.astype(jnp.bfloat16), (0, 2, 3, 1))
     stats: List[jax.Array] = []
 
     def note(t):
         if collect_stats:
-            stats.append(jnp.max(jnp.abs(t.astype(jnp.float32))))
+            a = jnp.abs(t.astype(jnp.float32))
+            stats.append(jnp.percentile(a, percentile)
+                         if percentile else jnp.max(a))
 
     note(x)
     a = jax.nn.relu(_conv_bf16(x, fp["stem"]))
@@ -146,10 +151,13 @@ def forward_bf16(fp, obs, collect_stats: bool = False):
     return logits, value
 
 
-def calibrate(fp, obs_batches) -> jax.Array:
+def calibrate(fp, obs_batches, percentile: float = 0.0) -> jax.Array:
     """Max-abs activation scales at every quant point over sample
-    observations (the standard static-range calibration)."""
-    run = jax.jit(lambda o: forward_bf16(fp, o, collect_stats=True)[1])
+    observations (the standard static-range calibration), or — with
+    ``percentile`` in (0, 100) — abs-percentile scales (max across
+    batches of the per-batch percentile)."""
+    run = jax.jit(lambda o: forward_bf16(fp, o, collect_stats=True,
+                                         percentile=percentile)[1])
     mx = None
     for obs in obs_batches:
         s = run(obs)
@@ -380,16 +388,18 @@ def forward_int8_from_q(qp, xq, residual: str = "bf16",
 # --------------------------------------------------------------------------
 # public entry
 
-def build_quantized_params(model, variables, calib_obs=None):
+def build_quantized_params(model, variables, calib_obs=None,
+                           calib_percentile: float = 0.0):
     """BN-fold, calibrate and quantize ``model`` -> the flat ``qp`` pytree
-    the int8 executors consume."""
+    the int8 executors consume.  ``calib_percentile`` in (0, 100) switches
+    from max-abs to clipping (percentile) calibration."""
     fp = extract_folded(model, variables)
     if calib_obs is None:
         obs_shape = _infer_obs_shape(model, variables)
         calib_obs = [jnp.zeros((8,) + obs_shape, jnp.float32)]
     elif not isinstance(calib_obs, (list, tuple)):
         calib_obs = [calib_obs]
-    scales = calibrate(fp, calib_obs)
+    scales = calibrate(fp, calib_obs, percentile=calib_percentile)
     return quantize(fp, scales)
 
 
@@ -421,7 +431,8 @@ def _chunked_int8_eval(qp, obs, chunk, chunk_mode, residual="bf16",
 
 def make_int8_eval_params(model, variables, calib_obs=None, chunk: int = 512,
                           chunk_mode: str = "unroll",
-                          residual: str = "bf16", heads: str = "bf16"):
+                          residual: str = "bf16", heads: str = "bf16",
+                          calib_percentile: float = 0.0):
     """Params-style int8 evaluator: returns ``(eval_fn, qp)`` where
     ``eval_fn(qp, obs, to_play)`` takes the quantized parameters as a jit
     ARGUMENT (use with ``make_host_actor(..., with_params=True)``).
@@ -432,7 +443,8 @@ def make_int8_eval_params(model, variables, calib_obs=None, chunk: int = 512,
     (12% of device time); as runtime arguments they are staged once in HBM
     and simply read.  Also what weight refreshes want: a new qp needs no
     retrace."""
-    qp = build_quantized_params(model, variables, calib_obs)
+    qp = build_quantized_params(model, variables, calib_obs,
+                                calib_percentile)
 
     def eval_fn(params, obs, to_play=None):
         return _chunked_int8_eval(params, obs, chunk, chunk_mode, residual,
@@ -443,7 +455,7 @@ def make_int8_eval_params(model, variables, calib_obs=None, chunk: int = 512,
 
 def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512,
                       chunk_mode: str = "unroll", residual: str = "bf16",
-                      heads: str = "bf16"):
+                      heads: str = "bf16", calib_percentile: float = 0.0):
     """BN-fold, calibrate and quantize ``model`` into an int8 EvalFn.
 
     ``calib_obs``: observation array(s) for activation-range calibration;
@@ -466,7 +478,8 @@ def make_int8_eval_fn(model, variables, calib_obs=None, chunk: int = 512,
     (map512) vs 1.34 us/obs (unroll512) at the 16384-leaf wave shape
     (tools/profile_eval_r3.py, round 3).  Prefer make_int8_eval_params
     for hot loops (constants -> arguments)."""
-    qp = build_quantized_params(model, variables, calib_obs)
+    qp = build_quantized_params(model, variables, calib_obs,
+                                calib_percentile)
 
     def eval_fn(obs, to_play=None):
         return _chunked_int8_eval(qp, obs, chunk, chunk_mode, residual,

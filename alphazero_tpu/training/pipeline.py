@@ -85,6 +85,12 @@ class PipelineConfig:
     # torch_neural_network.cpp:267-269).
     inference: str = "folded"
     int8_chunk: int = 512
+    # Clipping (abs-percentile) calibration for the int8 path: measured
+    # +41 Elo +- 15 over 512 arena games vs the same executor with
+    # max-abs calibration on the flagship-trained net (BENCHLOG round 4;
+    # the percentile-calibrated int8 trunk also beat the exact bf16
+    # executor).  0 = max-abs.
+    int8_calib_percentile: float = 99.99
     seed: int = 0
 
 
@@ -162,7 +168,8 @@ class Pipeline:
             chunk = cfg.int8_chunk or None
 
             self._eval_transform = jax.jit(
-                lambda v: quant.build_quantized_params(model, v, calib)
+                lambda v: quant.build_quantized_params(
+                    model, v, calib, cfg.int8_calib_percentile)
             )
 
             def eval_params(qp, obs, to_play=None):

@@ -81,8 +81,10 @@ def run_int8_ab(env, model, params, games, sims, seed):
     from alphazero_tpu.models.resnet import make_inference_eval_fn
 
     cal = calib_obs(env, params, model)
+    pct = float(os.environ.get("AB_PCT", "0"))
     eval_int8 = make_int8_eval_fn(model, params, calib_obs=cal,
-                                  chunk=None, residual="int8")
+                                  chunk=None, residual="int8",
+                                  calib_percentile=pct)
     eval_bf16 = make_inference_eval_fn(model, params)
     cfg = ArenaConfig(
         mcts=MCTSConfig(num_simulations=sims, dirichlet_epsilon=0.0),
@@ -91,7 +93,9 @@ def run_int8_ab(env, model, params, games, sims, seed):
     res = jax.jit(
         lambda r: play_match(env, eval_int8, eval_bf16, r, cfg, games)
     )(jax.random.key(seed))
-    return {"a": "int8_trunk", "b": "bf16_folded",
+    a_name = ("int8_trunk_p%s" % os.environ["AB_PCT"]
+          if os.environ.get("AB_PCT") else "int8_trunk")
+    return {"a": a_name, "b": "bf16_folded",
             "wins_a": int(res.wins_a), "wins_b": int(res.wins_b),
             "draws": int(res.draws)}
 
