@@ -47,112 +47,89 @@ def load_net():
     return env, model, params
 
 
-def calib_obs(env, params, model, n=512, seed=7):
-    """Mid-game observations for int8 calibration: greedy-policy rollouts
-    (a trained net needs real activation ranges, not empty boards)."""
+def calib_obs(env, params, model):
+    """Mid-game calibration observations via the STANDARD helper
+    (models/quant.make_rollout_calib_fn, production rollout shape) —
+    the A/B measures exactly the executor the Pipeline ships."""
+    from alphazero_tpu import production
+    from alphazero_tpu.models.quant import make_rollout_calib_fn
     from alphazero_tpu.models.resnet import make_inference_eval_fn
 
-    eval_fn = jax.jit(make_inference_eval_fn(model, params))
-    states = jax.vmap(lambda _: env.init())(jnp.arange(n))
-    rng = jax.random.key(seed)
-
-    @jax.jit
-    def pol_move(states, r):
-        obs = jax.vmap(env.observation)(states)
-        logits, _ = eval_fn(obs)
-        legal = jax.vmap(env.legal_mask)(states)
-        p = jnp.where(legal, logits, -1e9)
-        acts = jax.random.categorical(r, p)
-        return jax.vmap(env.step)(states, acts.astype(jnp.int32))
-
-    obs_list = [jax.vmap(env.observation)(states)]
-    for i in range(12):
-        rng, sub = jax.random.split(rng)
-        states = pol_move(states, sub)
-        if i % 4 == 3:
-            obs_list.append(jax.vmap(env.observation)(states))
-    return jnp.concatenate(obs_list)
+    fn = make_rollout_calib_fn(
+        env, make_inference_eval_fn(model, params),
+        n=production.CALIB_GAMES, plies=production.CALIB_PLIES,
+        every=production.CALIB_EVERY,
+    )
+    return fn(None, jax.random.key(7))
 
 
 def run_int8_ab(env, model, params, games, sims, seed):
-    from alphazero_tpu.eval.arena import ArenaConfig, play_match
+    from alphazero_tpu import production
+    from alphazero_tpu.eval.arena import (
+        ArenaConfig,
+        play_match,
+        play_match_host,
+    )
     from alphazero_tpu.mcts.search import MCTSConfig
     from alphazero_tpu.models.quant import make_int8_eval_fn
     from alphazero_tpu.models.resnet import make_inference_eval_fn
 
     cal = calib_obs(env, params, model)
-    pct = float(os.environ.get("AB_PCT", "0"))
+    pct = float(os.environ.get("AB_PCT",
+                               str(production.INT8_CALIB_PERCENTILE)))
+    wave = int(os.environ.get("AB_WAVE", "16"))
     eval_int8 = make_int8_eval_fn(model, params, calib_obs=cal,
-                                  chunk=None, residual="int8",
+                                  chunk=None,
+                                  residual=production.INT8_RESIDUAL,
+                                  heads=production.INT8_HEADS,
                                   calib_percentile=pct)
     eval_bf16 = make_inference_eval_fn(model, params)
     cfg = ArenaConfig(
-        mcts=MCTSConfig(num_simulations=sims, dirichlet_epsilon=0.0),
+        mcts=MCTSConfig(num_simulations=sims, dirichlet_epsilon=0.0,
+                        wave_size=wave),
         max_moves=225,
+        opening_random_moves=int(os.environ.get("AB_OPENING", "6")),
     )
-    res = jax.jit(
-        lambda r: play_match(env, eval_int8, eval_bf16, r, cfg, games)
-    )(jax.random.key(seed))
-    a_name = ("int8_trunk_p%s" % os.environ["AB_PCT"]
-          if os.environ.get("AB_PCT") else "int8_trunk")
+    if os.environ.get("AB_HOST", "1") == "1":
+        # Host-driven match loop — required at production depth (the
+        # giant-scan jit crashes the TPU worker at 800 sims; VERDICT r4
+        # #2 / BENCHLOG round 4 caveat).
+        res = play_match_host(env, eval_int8, eval_bf16,
+                              jax.random.key(seed), cfg, games)
+    else:
+        res = jax.jit(
+            lambda r: play_match(env, eval_int8, eval_bf16, r, cfg, games)
+        )(jax.random.key(seed))
+    a_name = "int8_trunk_p%s" % pct if pct else "int8_trunk"
     return {"a": a_name, "b": "bf16_folded",
             "wins_a": int(res.wins_a), "wins_b": int(res.wins_b),
             "draws": int(res.draws)}
 
 
 def run_reuse_ab(env, model, params, games, sims, seed):
-    """Host-driven match: A keeps its tree across ALL moves (re-rooted
-    through both players' actions, reference updateWithMove), B searches
-    fresh every turn.  Equal sims/move.  Two halves swap colors."""
-    from alphazero_tpu.mcts.search import (
-        HostReuseSearch,
-        MCTSConfig,
-        make_host_search,
-        select_action,
-    )
+    """Host-driven per-side match (eval/arena.play_match_sides): A keeps
+    its tree across ALL moves (re-rooted through both players' actions,
+    reference updateWithMove), B searches fresh every turn.  Equal
+    sims/move, mirrored random openings, two color-swapped halves."""
+    from alphazero_tpu.eval.arena import play_match_sides
+    from alphazero_tpu.mcts.search import MCTSConfig
     from alphazero_tpu.models.resnet import make_inference_eval_fn
 
     eval_fn = make_inference_eval_fn(model, params)
+    wave = int(os.environ.get("AB_WAVE", "16"))
     cfg_on = MCTSConfig(num_simulations=sims, dirichlet_epsilon=0.0,
-                        tree_reuse=True, reuse_budget="fixed")
-    cfg_off = MCTSConfig(num_simulations=sims, dirichlet_epsilon=0.0)
-    B = games // 2
-
-    step = jax.jit(lambda s, a: jax.vmap(env.step)(s, a))
-    winner_of = jax.jit(lambda s: jax.vmap(env.winner)(s))
-    all_done = jax.jit(
-        lambda s: jax.vmap(env.terminal_flag)(s).all()
+                        tree_reuse=True, reuse_budget="fixed",
+                        wave_size=wave)
+    cfg_off = MCTSConfig(num_simulations=sims, dirichlet_epsilon=0.0,
+                         wave_size=wave)
+    res = play_match_sides(
+        env, (eval_fn, cfg_on), (eval_fn, cfg_off),
+        jax.random.key(seed), games, max_moves=225,
+        opening_random_moves=int(os.environ.get("AB_OPENING", "6")),
     )
-
-    def half(a_is_black, rng):
-        e_on = HostReuseSearch(env, eval_fn, cfg_on)
-        e_off = make_host_search(env, eval_fn, cfg_off)
-        states = jax.vmap(lambda _: env.init())(jnp.arange(B))
-        for t in range(225):
-            rng, s_rng, a_rng, adv_rng = jax.random.split(rng, 4)
-            mover_black = t % 2 == 0
-            a_moves = mover_black == a_is_black
-            out = e_on(states, s_rng) if a_moves else e_off(states, s_rng)
-            action = select_action(a_rng, out.visit_counts,
-                                   jnp.float32(0.1))
-            states = step(states, action.astype(jnp.int32))
-            # Carry A's tree through EVERY played action (own and
-            # opponent's) — reference updateWithMove semantics.
-            e_on.advance(None, action.astype(jnp.int32), states, adv_rng)
-            if (t + 1) % 16 == 0 and bool(all_done(states)):
-                break
-        w = winner_of(states)
-        a_color = 0 if a_is_black else 1
-        wins_a = int(jnp.sum(w == a_color))
-        wins_b = int(jnp.sum((w >= 0) & (w != a_color)))
-        draws = B - wins_a - wins_b
-        return wins_a, wins_b, draws
-
-    r1 = half(True, jax.random.key(seed))
-    r2 = half(False, jax.random.key(seed + 1))
     return {"a": "reuse_fixed", "b": "fresh_tree",
-            "wins_a": r1[0] + r2[0], "wins_b": r1[1] + r2[1],
-            "draws": r1[2] + r2[2]}
+            "wins_a": int(res.wins_a), "wins_b": int(res.wins_b),
+            "draws": int(res.draws)}
 
 
 def main():
@@ -178,6 +155,7 @@ def main():
            if 0 < score < 1 else float("inf") * (1 if score >= 1 else -1))
     rec.update({
         "mode": mode, "games": n, "sims": sims,
+        "wave": int(os.environ.get("AB_WAVE", "16")),
         "score_a": round(score, 4),
         "elo_delta_a": round(elo, 1) if math.isfinite(elo) else str(elo),
         "wall_s": round(time.time() - t0, 1),
