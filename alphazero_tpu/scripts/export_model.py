@@ -69,6 +69,11 @@ def main(argv=None):
                    help="also export a TorchScript .pt here (the external "
                    "interchange format; loadable by any LibTorch runtime, "
                    "including the reference's TorchNeuralNetwork)")
+    p.add_argument("--onnx", default=None,
+                   help="also export an ONNX file here (opset 13; the "
+                   "reference's second export format, export_model.py:294). "
+                   "Output parity is verified by parsing the file back and "
+                   "replaying it with numpy (no onnx runtime in this image)")
     args = p.parse_args(argv)
 
     step = export_from_checkpoint(
@@ -98,6 +103,26 @@ def main(argv=None):
         out["torchscript_parity"] = verify_export(
             model, params, obs, args.torchscript
         )
+    if args.onnx:
+        import jax
+        import jax.numpy as jnp
+
+        from alphazero_tpu.core import registry
+        from alphazero_tpu.models.export_onnx import (
+            export_onnx,
+            verify_onnx_export,
+        )
+        from alphazero_tpu.models.io import load_model
+
+        env = registry.create_game(args.game, args.board_size)
+        model, params = load_model(args.output, env.observation_shape)
+        export_onnx(model, params, env.observation_shape, args.onnx)
+        obs = jax.vmap(env.observation)(
+            jax.vmap(lambda _: env.init())(jnp.arange(4))
+        )
+        out["onnx"] = args.onnx
+        out["onnx_parity"] = verify_onnx_export(model, params, obs,
+                                                args.onnx)
     if args.package:
         package(args.output, args.package,
                 {"game": args.game, "board_size": args.board_size,
