@@ -9,21 +9,23 @@ configuration of ``TorchNeuralNetworkConfig``
 src/nn/torch_neural_network.cpp:267-269), which its selfplay binary, REST
 server and evaluate path all construct identically.
 
-Decision record (BENCHLOG round 4, re-verified at 800 sims in round 5 —
-see the "800-sim A/B" BENCHLOG entry for the production-depth numbers):
-  * inference "int8" with percentile (clipping) calibration: +41 Elo
-    +- 15 over 512 games vs the exact bf16-folded executor at 200 sims
-    (r4), and ~45% faster.
+Decision record (BENCHLOG rounds 4-5; round 5 re-measured everything at
+the production depth of 800 sims/move, 1024 games per A/B, mirrored
+random openings, host-driven match loop):
+  * inference "int8" with percentile (clipping) calibration: strength-
+    NEUTRAL at 800 sims (512-512 over 1024 games => 0 +- 11 Elo; the r4
+    +41 at 200 sims was a low-sims effect) at ~45% higher throughput —
+    equal strength, faster, so int8 ships.
   * calibration: mid-game rollout observations (models/quant.
     make_rollout_calib_fn), abs-percentile 99.99 — the regime that
-    produced the Elo evidence; empty-board max-abs measured -15 Elo.
+    produced the Elo evidence; empty-board max-abs measured -15 Elo (r4).
   * residual "int8" / heads "bf16" / chunk 512: the throughput winners
-    (BENCHLOG rounds 3-4 sweeps, kept strength-neutral by the A/B above).
-  * tree_reuse (budget "fixed") for match/demo play: +19 Elo at 200
-    sims (r4).  TRAINING self-play keeps fresh trees
-    (SelfPlayConfig.tree_reuse default False): reuse couples consecutive
-    move policies to one arena and the flagship learning evidence was
-    produced fresh-tree.
+    (BENCHLOG rounds 3-4 sweeps, strength-neutral per the A/B above).
+  * tree_reuse (budget "fixed") for match/demo play: +33 +- 11 Elo at
+    800 sims over 1024 games (r5; +19 at 200 sims in r4).  TRAINING
+    self-play keeps fresh trees (SelfPlayConfig.tree_reuse default
+    False): reuse couples consecutive move policies to one arena and the
+    flagship learning evidence was produced fresh-tree.
 """
 
 # Actor/deployment inference path: "int8" | "folded" | "raw".
