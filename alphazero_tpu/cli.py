@@ -49,6 +49,40 @@ class GameSession:
         self.state = self.env.init()
         self.history = [self.state]
         self.actions = []
+        self._reset_engines()
+
+    def _reset_engines(self):
+        for eng in self._jit_cache.values():
+            if hasattr(eng, "reset"):
+                eng.reset()
+
+    def _engine(self, sims: int):
+        """Per-simulation-count search engine.  Match surfaces carry the
+        tree across moves (reference updateWithMove; production decision:
+        +33 +- 11 Elo at 800 sims, alphazero_tpu/production.py) — the
+        session re-roots it through every played move, the engine's own
+        and the human's alike (self_play_manager.cpp:205-211 semantics)."""
+        key = ("engine", sims)
+        if key not in self._jit_cache:
+            from alphazero_tpu import production
+            from alphazero_tpu.mcts.search import (
+                HostReuseSearch,
+                make_host_search,
+            )
+
+            cfg = self._mcts_config_cls(
+                num_simulations=sims,
+                dirichlet_epsilon=0.0,
+                tree_reuse=production.MATCH_TREE_REUSE,
+                reuse_budget=production.MATCH_REUSE_BUDGET,
+                wave_size=min(16, sims),
+            )
+            if cfg.tree_reuse:
+                eng = HostReuseSearch(self.env, self.eval_fn, cfg)
+            else:
+                eng = make_host_search(self.env, self.eval_fn, cfg)
+            self._jit_cache[key] = eng
+        return self._jit_cache[key]
 
     def _next_rng(self):
         self.rng, sub = self.jax.random.split(self.rng)
@@ -60,6 +94,8 @@ class GameSession:
         return np.nonzero(np.asarray(self.env.legal_mask(self.state)))[0]
 
     def play(self, action: int) -> bool:
+        import jax.numpy as jnp
+        import jax.tree_util as jtu
         import numpy as np
 
         legal = np.asarray(self.env.legal_mask(self.state))
@@ -68,32 +104,26 @@ class GameSession:
         self.state = self.env.step(self.state, self.jax.numpy.asarray(action))
         self.history.append(self.state)
         self.actions.append(int(action))
+        # Carry any kept search tree through the played move (engine's own
+        # and the opponent's alike — reference updateWithMove semantics).
+        batched = jtu.tree_map(lambda x: x[None], self.state)
+        acts = jnp.asarray([action], jnp.int32)
+        for eng in self._jit_cache.values():
+            if hasattr(eng, "advance"):
+                eng.advance(None, acts, batched, self._next_rng())
         return True
 
     def ai_move(self):
         """Run search and play the chosen action.  Returns (action, info)."""
-        import jax
         import jax.numpy as jnp
         import jax.tree_util as jtu
 
         sims = int(self.options["simulations"])
-        key = ("search", sims)
-        if key not in self._jit_cache:
-            cfg = self._mcts_config_cls(
-                num_simulations=sims, dirichlet_epsilon=0.0
-            )
-            env, eval_fn, srch = self.env, self.eval_fn, self._search
-
-            @jax.jit
-            def run(states, rng):
-                out = srch(env, eval_fn, states, rng, cfg)
-                return out.visit_counts, out.action_weights, out.root_value
-
-            self._jit_cache[key] = run
-        run = self._jit_cache[key]
+        eng = self._engine(sims)
         batched = jtu.tree_map(lambda x: x[None], self.state)
         t0 = time.perf_counter()
-        counts, weights, value = run(batched, self._next_rng())
+        out = eng(batched, self._next_rng())
+        counts = out.visit_counts
         counts.block_until_ready()
         think = time.perf_counter() - t0
         temp = jnp.float32(self.options["temperature"])
@@ -102,7 +132,7 @@ class GameSession:
         )
         self.play(action)
         return action, {
-            "value": float(value[0]),
+            "value": float(out.root_value[0]),
             "visits": int(counts.sum()),
             "time_s": round(think, 2),
         }
@@ -162,6 +192,8 @@ class GameSession:
         self.history.pop()
         self.actions.pop()
         self.state = self.history[-1]
+        # Kept trees are rooted below the undone move — drop them.
+        self._reset_engines()
         return True
 
     def save_game(self, path: str):
