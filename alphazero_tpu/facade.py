@@ -65,7 +65,7 @@ class AlphaZero:
 
     def evaluate_model(self, other_params=None, num_games: int = 16,
                        simulations: int = 100):
-        from alphazero_tpu.eval.arena import ArenaConfig, play_match
+        from alphazero_tpu.eval.arena import ArenaConfig, play_match_host
         from alphazero_tpu.mcts.search import MCTSConfig
         from alphazero_tpu.models.resnet import make_inference_eval_fn
         from alphazero_tpu.models.stub import make_uniform_eval_fn
@@ -81,12 +81,15 @@ class AlphaZero:
 
         cfg = ArenaConfig(
             mcts=MCTSConfig(num_simulations=simulations,
-                            dirichlet_epsilon=0.0),
+                            dirichlet_epsilon=0.0,
+                            wave_size=min(16, simulations)),
             max_moves=self.config.selfplay.max_moves,
+            opening_random_moves=4,
         )
-        res = jax.jit(
-            lambda r: play_match(self.env, eval_a, eval_b, r, cfg, num_games)
-        )(jax.random.key(0))
+        # Host-driven match loop (works at production search depth;
+        # mirrored random openings keep deep-search games diverse).
+        res = play_match_host(self.env, eval_a, eval_b, jax.random.key(0),
+                              cfg, num_games)
         return {
             "wins": int(res.wins_a),
             "losses": int(res.wins_b),

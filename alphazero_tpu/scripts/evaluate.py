@@ -34,6 +34,11 @@ def main(argv=None):
     p.add_argument("--simulations", type=int, default=200)
     p.add_argument("--max-moves", type=int, default=None)
     p.add_argument("--temperature", type=float, default=0.1)
+    p.add_argument("--opening-moves", type=int, default=6,
+                   help="mirrored random opening plies (deep searches are "
+                   "near-deterministic at low temperature; without opening "
+                   "diversity every game is a replica — BENCHLOG round 5)")
+    p.add_argument("--wave", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--elo-file", default=None)
     args = p.parse_args(argv)
@@ -42,7 +47,7 @@ def main(argv=None):
 
     from alphazero_tpu.core import registry
     from alphazero_tpu.elo.tracker import EloTracker
-    from alphazero_tpu.eval.arena import ArenaConfig, play_match
+    from alphazero_tpu.eval.arena import ArenaConfig, play_match_host
     from alphazero_tpu.mcts.search import MCTSConfig
 
     env = registry.create_game(args.game, args.board_size)
@@ -54,15 +59,17 @@ def main(argv=None):
     )
     config = ArenaConfig(
         mcts=MCTSConfig(
-            num_simulations=args.simulations, dirichlet_epsilon=0.0
+            num_simulations=args.simulations, dirichlet_epsilon=0.0,
+            wave_size=min(args.wave, args.simulations),
         ),
         max_moves=max_moves,
         temperature=args.temperature,
+        opening_random_moves=args.opening_moves,
     )
-    fn = jax.jit(
-        lambda r: play_match(env, eval_a, eval_b, r, config, args.num_games)
-    )
-    res = fn(jax.random.key(args.seed))
+    # Host-driven match loop: production-depth (800-sim) evaluation works
+    # (the scanned whole-match jit crashed the TPU worker there).
+    res = play_match_host(env, eval_a, eval_b, jax.random.key(args.seed),
+                          config, args.num_games)
     wins_a, wins_b, draws = int(res.wins_a), int(res.wins_b), int(res.draws)
     n = wins_a + wins_b + draws
     score = (wins_a + 0.5 * draws) / max(n, 1)

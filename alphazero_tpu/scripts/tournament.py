@@ -31,7 +31,7 @@ def main(argv=None):
 
     from alphazero_tpu.core import registry
     from alphazero_tpu.elo.tracker import EloTracker
-    from alphazero_tpu.eval.arena import ArenaConfig, play_match
+    from alphazero_tpu.eval.arena import ArenaConfig, play_match_host
     from alphazero_tpu.mcts.search import MCTSConfig
     from alphazero_tpu.scripts.evaluate import load_eval_fn
 
@@ -52,9 +52,11 @@ def main(argv=None):
     )
     config = ArenaConfig(
         mcts=MCTSConfig(num_simulations=args.simulations,
-                        dirichlet_epsilon=0.0),
+                        dirichlet_epsilon=0.0,
+                        wave_size=min(16, args.simulations)),
         max_moves=max_moves,
         temperature=0.1,
+        opening_random_moves=6,
     )
 
     tracker = EloTracker()
@@ -62,12 +64,8 @@ def main(argv=None):
     rng = jax.random.key(args.seed)
     for (na, nb) in itertools.combinations(sorted(players), 2):
         rng, sub = jax.random.split(rng)
-        fn = jax.jit(
-            lambda r, a=eval_fns[na], b=eval_fns[nb]: play_match(
-                env, a, b, r, config, args.games_per_pair
-            )
-        )
-        res = fn(sub)
+        res = play_match_host(env, eval_fns[na], eval_fns[nb], sub,
+                              config, args.games_per_pair)
         wa, wb, dr = int(res.wins_a), int(res.wins_b), int(res.draws)
         tracker.add_series(na, nb, wa, wb, dr)
         results.append({"a": na, "b": nb, "wins_a": wa, "wins_b": wb,
