@@ -77,9 +77,23 @@ def main(argv=None):
          "games": tracker.games_played[name]}
         for name, r in tracker.leaderboard()
     ]
+    # Joint Bradley-Terry fit over the full round-robin table — order-
+    # independent ratings (the sequential K=32 ladder depends on pairing
+    # order; elo/bradley_terry.py).  Both are reported: "elo" mirrors the
+    # reference tournament.py bookkeeping, "bt" is the consistent scale.
+    from alphazero_tpu.elo.bradley_terry import fit_bradley_terry
+
+    bt = fit_bradley_terry(
+        [(r["a"], r["b"], r["wins_a"], r["wins_b"], r["draws"])
+         for r in results]
+    )
+    bt_table = [{"player": k, "bt_elo": round(v, 1)}
+                for k, v in sorted(bt.items(), key=lambda kv: -kv[1])]
+
     with open(args.output, "w") as f:
-        json.dump({"results": results, "elo": table}, f, indent=2)
-    print(json.dumps(table))
+        json.dump({"results": results, "elo": table, "bt": bt_table},
+                  f, indent=2)
+    print(json.dumps({"elo": table, "bt": bt_table}))
 
 
 if __name__ == "__main__":
