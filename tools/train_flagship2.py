@@ -263,6 +263,37 @@ def main():
                cfg.model)
     print(f"wrote {bundle} (+.json)", flush=True)
 
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        xs, ys = [], []
+        for name, r in sorted(ratings.items()):
+            if name == "r4_final":
+                xs.append(16); ys.append(r)
+            elif name.startswith("it_"):
+                xs.append(int(name.split("_")[1])); ys.append(r)
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        ax.plot([xs[i] for i in order], [ys[i] for i in order],
+                marker="o", label="flagship (BT, anchored)")
+        for aname in anchors.POOL:
+            if aname in ratings:
+                ax.axhline(ratings[aname], ls="--", lw=0.8, alpha=0.6)
+                ax.annotate(aname, (xs[order[0]], ratings[aname]),
+                            fontsize=7, va="bottom")
+        ax.set_xlabel("training iteration (absolute; r4 ended at 16)")
+        ax.set_ylabel("Bradley-Terry Elo (uniform_mcts_256 = 1500)")
+        ax.set_title("Flagship gomoku15/800-sim resume — anchored ratings")
+        ax.legend()
+        png = os.path.join(out_dir, "train_flagship2_elo.png")
+        fig.tight_layout(); fig.savefig(png, dpi=120)
+        print(f"wrote {png}", flush=True)
+    except Exception as e:  # noqa: BLE001 — plots are best-effort
+        print(f"plotting skipped: {e}", flush=True)
+
 
 if __name__ == "__main__":
     main()
