@@ -94,9 +94,27 @@ def main():
     )
     config = SelfPlayConfig(
         mcts=MCTSConfig(num_simulations=sims, wave_size=16),
-        max_moves=moves + 2,
+        max_moves=64,
     )
     step, init_states = make_host_actor(env, eval_fn, config, batch)
+
+    if os.environ.get("MFU_MIDGAME", "0") == "1":
+        # Midgame regime (bench's sustained figure): advance 40 plies by
+        # cheap policy sampling before tracing.
+        from alphazero_tpu.mcts.search import masked_softmax
+
+        @jax.jit
+        def policy_move(states, rng):
+            obs = jax.vmap(env.observation)(states)
+            logits, _ = eval_fn(obs, jax.vmap(env.to_play)(states))
+            legal = jax.vmap(env.legal_mask)(states)
+            probs = masked_softmax(logits, legal)
+            acts = jax.random.categorical(rng, jnp.log(probs + 1e-9))
+            return jax.vmap(env.step)(states, acts.astype(jnp.int32))
+
+        for i in range(40):
+            init_states = policy_move(init_states, jax.random.key(500 + i))
+        jax.block_until_ready(init_states.move_count)
 
     # Warm up: compile + one full move.
     st, rec = step(init_states, jax.random.key(1))
@@ -159,6 +177,8 @@ def main():
 
     top = sorted(fam_time.items(), key=lambda kv: -kv[1])[:8]
     rec_out = {
+        "regime": ("midgame" if os.environ.get("MFU_MIDGAME", "0") == "1"
+                   else "opening"),
         "batch": batch, "sims": sims, "moves_timed": moves,
         "wall_s": round(wall_s, 3),
         "moves_per_s": round(done_moves / wall_s, 1),
