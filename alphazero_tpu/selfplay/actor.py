@@ -35,6 +35,17 @@ class SelfPlayConfig:
     temperature: float = 1.0
     final_temperature: float = 0.0
     temperature_drop_move: int = 30
+    # Continuous self-play: a lane whose game ends is immediately reset to
+    # a fresh game instead of idling until the whole batch finishes — the
+    # lockstep analog of the reference's per-thread continuous generation
+    # (SelfPlayManager threads start their next game as soon as one ends,
+    # self_play_manager.cpp:74-89).  Measured: finished lanes idling in
+    # lockstep are the entire opening-vs-midgame bench gap (815 vs 603
+    # moves/s; the traced per-move device cost is IDENTICAL in both
+    # regimes — BENCHLOG round 5).  Value targets for recycled batches
+    # come from ``value_targets_recycled`` (per-segment winners recorded
+    # in ``MoveRecord.ended_winner``).  Incompatible with tree_reuse.
+    recycle: bool = False
 
 
 class MoveRecord(NamedTuple):
@@ -48,6 +59,10 @@ class MoveRecord(NamedTuple):
     root_value: jax.Array  # f32 [B]
     to_play: jax.Array  # i32 [B] player who chose the move
     active: jax.Array  # bool [B] game was live when the move was made
+    ended_winner: jax.Array  # i32 [B] winner if the game ENDED on this
+    #   move (-1 draw, 0/1 win), else -2; with recycle the post-move
+    #   terminal state is replaced by a fresh game, so this is the only
+    #   record of the segment boundary
     states: Any  # pre-move env states (None unless record_states)
 
 
@@ -58,6 +73,7 @@ class SelfPlayOutput(NamedTuple):
     root_values: jax.Array  # f32 [T, B]
     to_play: jax.Array  # i32 [T, B]
     active: jax.Array  # bool [T, B]
+    ended_winner: jax.Array  # i32 [T, B] per-move segment-end winner (-2 none)
     winner: jax.Array  # i32 [B] -1 draw/unfinished, 0, 1
     length: jax.Array  # i32 [B] moves actually played
     move_states: Any  # pre-move env states [T, B, ...] (None unless recorded)
@@ -65,6 +81,39 @@ class SelfPlayOutput(NamedTuple):
 
 def _batched_init(env, batch_size: int):
     return jax.vmap(lambda _: env.init())(jnp.arange(batch_size))
+
+
+def _step_and_record(env, states, action, policy, root_value, active,
+                     config: SelfPlayConfig, record_states: bool):
+    """Apply the chosen actions, detect segment ends, optionally recycle
+    finished lanes into fresh games."""
+    new_states = jax.vmap(env.step)(states, action)
+    done = jax.vmap(env.terminal_flag)(new_states)
+    ended = active & done
+    ended_winner = jnp.where(
+        ended, jax.vmap(env.winner)(new_states), jnp.int32(-2)
+    ).astype(jnp.int32)
+    record = MoveRecord(
+        action=action,
+        policy=policy,
+        root_value=root_value,
+        to_play=jax.vmap(env.to_play)(states),
+        active=active,
+        ended_winner=ended_winner,
+        states=states if record_states else None,
+    )
+    if config.recycle:
+        if config.mcts.tree_reuse:
+            raise ValueError("recycle is incompatible with tree_reuse")
+        B = action.shape[0]
+        fresh = _batched_init(env, B)
+        new_states = jax.tree_util.tree_map(
+            lambda f, s: jnp.where(
+                done.reshape((B,) + (1,) * (s.ndim - 1)), f, s
+            ),
+            fresh, new_states,
+        )
+    return new_states, record
 
 
 def move_once(env, eval_fn: EvalFn, states, rng, config: SelfPlayConfig,
@@ -80,16 +129,8 @@ def move_once(env, eval_fn: EvalFn, states, rng, config: SelfPlayConfig,
     ).astype(jnp.float32)
     action = select_action(act_rng, out.visit_counts, temp)
     active = ~jax.vmap(env.terminal_flag)(states)
-    record = MoveRecord(
-        action=action,
-        policy=out.action_weights,
-        root_value=out.root_value,
-        to_play=jax.vmap(env.to_play)(states),
-        active=active,
-        states=states if record_states else None,
-    )
-    new_states = jax.vmap(env.step)(states, action)
-    return new_states, record
+    return _step_and_record(env, states, action, out.action_weights,
+                            out.root_value, active, config, record_states)
 
 
 def play_games(
@@ -126,6 +167,7 @@ def play_games(
         root_values=recs.root_value,
         to_play=recs.to_play,
         active=recs.active,
+        ended_winner=recs.ended_winner,
         winner=winner,
         length=length,
         move_states=recs.states,
@@ -135,7 +177,8 @@ def play_games(
 def value_targets(output: SelfPlayOutput) -> jax.Array:
     """z targets [T, B]: final result from the perspective of the player to
     move at each recorded position (+1 they won, -1 lost, 0 draw) — the
-    reference Dataset's value target (src/selfplay/dataset.cpp:86-97)."""
+    reference Dataset's value target (src/selfplay/dataset.cpp:86-97).
+    One game per lane (no recycling); unfinished games get z=0."""
     winner = output.winner[None, :]  # [1, B]
     tp = output.to_play
     return jnp.where(
@@ -143,6 +186,30 @@ def value_targets(output: SelfPlayOutput) -> jax.Array:
         0.0,
         jnp.where(winner == tp, 1.0, -1.0),
     ).astype(jnp.float32)
+
+
+def value_targets_recycled(output: SelfPlayOutput):
+    """(z [T, B], valid [T, B]) for recycled (continuous) self-play: each
+    move's result is the winner of the SEGMENT it belongs to, found by
+    propagating ``ended_winner`` backward in time; moves of segments that
+    never finished within the window are masked out (the reference
+    likewise trains only on completed game records, dataset.cpp:64-114)."""
+    ew = output.ended_winner  # [T, B]
+    B = ew.shape[1]
+
+    def rev(carry, ew_t):
+        w = jnp.where(ew_t != -2, ew_t, carry)
+        return w, w
+
+    _, w_seq = jax.lax.scan(rev, jnp.full((B,), -2, ew.dtype), ew,
+                            reverse=True)
+    z = jnp.where(
+        w_seq < 0,
+        0.0,
+        jnp.where(w_seq == output.to_play, 1.0, -1.0),
+    ).astype(jnp.float32)
+    valid = output.active & (w_seq != -2)
+    return z, valid
 
 
 def make_host_actor(env, eval_fn: EvalFn, config: SelfPlayConfig,
@@ -179,16 +246,11 @@ def make_host_actor(env, eval_fn: EvalFn, config: SelfPlayConfig,
         ).astype(jnp.float32)
         action = select_action(act_rng, visit_counts, temp)
         active = ~jax.vmap(env.terminal_flag)(states)
-        record = MoveRecord(
-            action=action,
-            policy=visit_counts
-            / jnp.maximum(visit_counts.sum(-1, keepdims=True), 1),
-            root_value=root_value,
-            to_play=jax.vmap(env.to_play)(states),
-            active=active,
-            states=states if record_states else None,
+        policy = visit_counts / jnp.maximum(
+            visit_counts.sum(-1, keepdims=True), 1
         )
-        return jax.vmap(env.step)(states, action), record
+        return _step_and_record(env, states, action, policy, root_value,
+                                active, config, record_states)
 
     reuse = config.mcts.tree_reuse
 

@@ -261,13 +261,23 @@ class Pipeline:
             self._actor = jax.jit(actor_fn)
 
         def ingest_fn(buffer, out):
-            """Flatten [T, B] move records into the replay ring."""
-            z = value_targets(out)  # [T, B]
+            """Flatten [T, B] move records into the replay ring.  With
+            recycling, targets/masks are per-segment (only moves of games
+            that FINISHED within the window train — the reference likewise
+            trains only on completed records, dataset.cpp:64-114)."""
+            if cfg.selfplay.recycle:
+                from alphazero_tpu.selfplay.actor import (
+                    value_targets_recycled,
+                )
+
+                z, mask = value_targets_recycled(out)
+            else:
+                z, mask = value_targets(out), out.active
             T, B = z.shape
             flat = lambda x: x.reshape((T * B,) + x.shape[2:])
             states = jax.tree_util.tree_map(flat, out.move_states)
             return replay.add(
-                buffer, states, flat(out.policies), flat(z), flat(out.active)
+                buffer, states, flat(out.policies), flat(z), flat(mask)
             )
 
         self._ingest = jax.jit(ingest_fn)
@@ -320,6 +330,7 @@ class Pipeline:
             root_values=stacked.root_value,
             to_play=stacked.to_play,
             active=stacked.active,
+            ended_winner=stacked.ended_winner,
             winner=winner,
             length=length,
             move_states=stacked.states,
@@ -435,9 +446,12 @@ class Pipeline:
                 "grad_norm": float(m.grad_norm),
             }
 
+        import jax.numpy as jnp
+
         entry = {
             "iteration": it,
             "games": self.config.games_per_iteration,
+            "games_finished": int(jnp.sum(out.ended_winner != -2)),
             "moves": moves,
             "replay_size": buf_size,
             "actor_s": round(actor_s, 2),

@@ -157,14 +157,29 @@ def main():
     # Host-driven actor: per-sim executables with donated arenas (see
     # mcts/search.make_host_search) — measured ~3x over the scanned loop.
     with_params = eval_params is not None
-    _step, init_states = make_host_actor(env, eval_fn, config, batch,
-                                         with_params=with_params)
-    if with_params:
-        def step(s, r, _p=eval_params, _f=_step):
-            return _f(_p, s, r)
-        step.search = getattr(_step, "search", None)
-    else:
-        step = _step
+
+    def build_step(cfg_):
+        _step, init_states_ = make_host_actor(env, eval_fn, cfg_, batch,
+                                              with_params=with_params)
+        if with_params:
+            def s(st, r, _p=eval_params, _f=_step):
+                return _f(_p, st, r)
+            s.search = getattr(_step, "search", None)
+            s.reset = getattr(_step, "reset", lambda: None)
+        else:
+            s = _step
+        return s, init_states_
+
+    step, init_states = build_step(config)
+    # Continuous (recycled) self-play for the "sustained" regime: finished
+    # lanes restart immediately — the production generation mode (lockstep
+    # idling of finished lanes is the whole opening-vs-midgame gap; the
+    # traced per-move device cost is identical in both regimes).
+    recycle_cfg = SelfPlayConfig(
+        mcts=config.mcts if not reuse else MCTSConfig(
+            num_simulations=sims, wave_size=wave),
+        max_moves=moves, recycle=True,
+    )
 
     def fresh_states():
         return jax.vmap(lambda _: env.init())(jnp.arange(batch))
@@ -204,56 +219,70 @@ def main():
     max_reps = int(os.environ.get("BENCH_MAX_REPS", "6"))
     stable_pct = float(os.environ.get("BENCH_STABLE_PCT", "3.0"))
 
-    def one_rep(states, rep):
+    def one_rep(stepf, states, rep):
         """Time ``moves`` searched moves from ``states``; fresh tree state
         per rep (step.reset) so every rep does identical work."""
-        if hasattr(step, "reset"):
-            step.reset()
+        if hasattr(stepf, "reset"):
+            stepf.reset()
         done_moves = 0
+        done_games = 0
         fresh_sims = 0
         st = states
         t0 = time.perf_counter()
         for i in range(moves):
-            st, rec = step(st, jax.random.key(1000 * rep + 2 + i))
+            st, rec = stepf(st, jax.random.key(1000 * rep + 2 + i))
             done_moves += int(jnp.sum(rec.active))
-            fresh_sims += getattr(step.search, "last_fresh_sims", sims)
+            done_games += int(jnp.sum(rec.ended_winner != -2))
+            fresh_sims += getattr(
+                getattr(stepf, "search", None), "last_fresh_sims", sims
+            )
         jax.block_until_ready(rec.action)
         elapsed = time.perf_counter() - t0
-        return done_moves / elapsed, fresh_sims / max(1, moves), elapsed
+        return (done_moves / elapsed, done_games / elapsed * 60.0,
+                fresh_sims / max(1, moves), elapsed)
 
-    def timed_run(states):
+    def timed_run(stepf, states):
         """Median-of-reps throughput.  Returns (moves_per_s median,
-        fresh_sims_per_move, total_elapsed, compile_s, rep_values)."""
-        if hasattr(step, "reset"):
-            step.reset()
+        games_per_min median, fresh_sims_per_move, total_elapsed,
+        compile_s, rep_values)."""
+        if hasattr(stepf, "reset"):
+            stepf.reset()
         t0 = time.perf_counter()
-        _, rec = step(states, jax.random.key(1))
+        _, rec = stepf(states, jax.random.key(1))
         jax.block_until_ready(rec.action)
         compile_s = time.perf_counter() - t0
 
         reps = []
+        gpms = []
         fresh = 0.0
         total_elapsed = 0.0
         for rep in range(max_reps):
-            mps, fresh, elapsed = one_rep(states, rep)
+            mps, gpm, fresh, elapsed = one_rep(stepf, states, rep)
             reps.append(mps)
+            gpms.append(gpm)
             total_elapsed += elapsed
             if len(reps) >= min_reps:
                 a, b = reps[-2], reps[-1]
                 if abs(a - b) / max(a, b) * 100.0 <= stable_pct:
                     break
         med = sorted(reps)[len(reps) // 2]
-        return med, fresh, total_elapsed, compile_s, reps
+        gpm_med = sorted(gpms)[len(gpms) // 2]
+        return med, gpm_med, fresh, total_elapsed, compile_s, reps
 
     results = {}
     if mode in ("both", "opening"):
-        results["opening"] = timed_run(init_states)
+        results["opening"] = timed_run(step, init_states)
+    if mode in ("both", "midgame", "sustained"):
+        mid_states = advance_midgame(fresh_states())
     if mode in ("both", "midgame"):
-        results["midgame"] = timed_run(advance_midgame(fresh_states()))
+        results["midgame"] = timed_run(step, mid_states)
+    if mode in ("both", "sustained") and not reuse:
+        sustained_step, _ = build_step(recycle_cfg)
+        results["sustained"] = timed_run(sustained_step, mid_states)
 
-    primary = "opening" if "opening" in results else "midgame"
-    mps, fresh, elapsed, compile_s, rep_values = results[primary]
-    suffix = "_midgame" if primary == "midgame" else ""
+    primary = "opening" if "opening" in results else mode
+    mps, _gpm, fresh, elapsed, compile_s, rep_values = results[primary]
+    suffix = "" if primary == "opening" else f"_{primary}"
     result = {
         "metric": (
             f"selfplay_moves_per_s_per_chip_{game}{board}_{sims}sims{suffix}"
@@ -267,7 +296,16 @@ def main():
         mid = results["midgame"][0]
         result["midgame"] = round(mid, 2)
         result["midgame_vs_baseline"] = round(mid / BASELINE_MOVES_PER_S, 2)
-        result["midgame_reps"] = [round(r, 1) for r in results["midgame"][4]]
+        result["midgame_reps"] = [round(r, 1) for r in results["midgame"][5]]
+    if "sustained" in results:
+        # Continuous self-play from midgame start states: finished lanes
+        # recycle into fresh games (production generation mode); also the
+        # completed-games rate the PRD states its throughput target in
+        # (>=50 gomoku games/min, PRD.md:13).
+        sus = results["sustained"]
+        result["sustained"] = round(sus[0], 2)
+        result["sustained_games_per_min"] = round(sus[1], 1)
+        result["sustained_reps"] = [round(r, 1) for r in sus[5]]
     if os.path.exists(REF_MEASURED_PATH):
         with open(REF_MEASURED_PATH) as f:
             ref = json.load(f)
@@ -280,12 +318,13 @@ def main():
                     result["midgame"] / ref_mps, 2
                 )
     print(json.dumps(result))
-    for name, (m, fr, el, co, reps_list) in results.items():
+    for name, (m, gpm, fr, el, co, reps_list) in results.items():
         print(
             f"# {name}: median {m:.1f} moves/s over "
             f"{len(reps_list)} reps {[round(r, 1) for r in reps_list]} "
-            f"batch={batch} sims={sims} timed_moves={moves}/rep "
-            f"reuse={reuse} wave={wave} fresh_sims/move={fr:.0f} "
+            f"games/min={gpm:.1f} batch={batch} sims={sims} "
+            f"timed_moves={moves}/rep reuse={reuse} wave={wave} "
+            f"fresh_sims/move={fr:.0f} "
             f"total_elapsed={el:.1f}s compile={co:.1f}s",
             file=sys.stderr,
         )
