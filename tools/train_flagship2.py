@@ -62,6 +62,10 @@ def main():
     replay_cap = int(os.environ.get("FLAG2_REPLAY", "400000"))
     start_bundle = os.environ.get("FLAG2_START", "/tmp/flagship_gomoku15")
     out_dir = os.environ.get("FLAG2_OUT", "docs")
+    tag = os.environ.get("FLAG2_TAG", "")
+    base_iter = int(os.environ.get("FLAG2_BASE_ITER", "16"))
+    start_name = os.environ.get("FLAG2_START_NAME", "r4_final")
+    recycle = os.environ.get("FLAG2_RECYCLE", "0") == "1"
 
     from alphazero_tpu.elo.bradley_terry import fit_bradley_terry
     from alphazero_tpu.eval import anchors
@@ -82,6 +86,7 @@ def main():
         selfplay=SelfPlayConfig(
             mcts=MCTSConfig(num_simulations=sims, wave_size=16),
             max_moves=225, temperature_drop_move=30,
+            recycle=recycle,
         ),
         learner=LearnerConfig(
             learning_rate=lr, scheduler="warmup_cosine",
@@ -184,12 +189,12 @@ def main():
 
     # ---- run -------------------------------------------------------------
     t_start = time.time()
-    snapshots = {"r4_final": snap()}
-    print("rating the resume start (r4_final) vs the anchor pool...",
+    snapshots = {start_name: snap()}
+    print(f"rating the resume start ({start_name}) vs the anchor pool...",
           flush=True)
-    rate_snapshot("r4_final", snapshots["r4_final"])
+    rate_snapshot(start_name, snapshots[start_name])
 
-    prev_name = "r4_final"
+    prev_name = start_name
     history = []
     for it in range(iters):
         entry = pipe.run_iteration(it)
@@ -198,21 +203,21 @@ def main():
               f"{json.dumps(entry)}", flush=True)
         step = it + 1
         if step % eval_every == 0 or step == iters:
-            name = f"it_{16 + step}"  # absolute numbering: r4 ended at 16
+            name = f"it_{base_iter + step}"  # absolute numbering
             snapshots[name] = snap()
             rate_snapshot(name, snapshots[name], prev_name,
                           snapshots[prev_name])
             # Every snapshot also plays the resume start for a dense column.
-            if prev_name != "r4_final":
+            if prev_name != start_name:
                 arena = ArenaConfig(mcts=cand_cfg, max_moves=225,
                                 opening_random_moves=6)
                 res = play_match_host(
                     env, eval_of(snapshots[name]),
-                    eval_of(snapshots["r4_final"]),
+                    eval_of(snapshots[start_name]),
                     jax.random.key(_seed(name, "start")),
                     arena, eval_games,
                 )
-                record(name, "r4_final", res)
+                record(name, start_name, res)
             prev_name = name
 
             ratings = fit_bradley_terry(
@@ -230,6 +235,7 @@ def main():
     payload = {
         "config": {
             "resumed_from": start_bundle, "iterations": iters,
+            "recycle": recycle, "base_iter": base_iter,
             "games_per_iteration": games, "simulations": sims,
             "eval_games": eval_games, "anchor_games": anchor_games,
             "eval_sims": eval_sims, "learning_rate": lr,
@@ -249,7 +255,7 @@ def main():
                    "rating": anchors.CANONICAL_RATING},
     }
     os.makedirs(out_dir, exist_ok=True)
-    out_json = os.path.join(out_dir, "train_flagship2.json")
+    out_json = os.path.join(out_dir, f"train_flagship2{tag}.json")
     with open(out_json, "w") as f:
         json.dump(payload, f, indent=2)
     print(f"wrote {out_json}", flush=True)
@@ -271,8 +277,8 @@ def main():
 
         xs, ys = [], []
         for name, r in sorted(ratings.items()):
-            if name == "r4_final":
-                xs.append(16); ys.append(r)
+            if name == start_name:
+                xs.append(base_iter); ys.append(r)
             elif name.startswith("it_"):
                 xs.append(int(name.split("_")[1])); ys.append(r)
         order = sorted(range(len(xs)), key=lambda i: xs[i])
@@ -288,7 +294,7 @@ def main():
         ax.set_ylabel("Bradley-Terry Elo (uniform_mcts_256 = 1500)")
         ax.set_title("Flagship gomoku15/800-sim resume — anchored ratings")
         ax.legend()
-        png = os.path.join(out_dir, "train_flagship2_elo.png")
+        png = os.path.join(out_dir, f"train_flagship2{tag}_elo.png")
         fig.tight_layout(); fig.savefig(png, dpi=120)
         print(f"wrote {png}", flush=True)
     except Exception as e:  # noqa: BLE001 — plots are best-effort
