@@ -56,7 +56,12 @@ def main(argv=None):
 
     apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="orbax checkpoint dir to convert to a bundle")
+    p.add_argument("--bundle", default=None,
+                   help="existing (msgpack, JSON) bundle to export directly "
+                   "(e.g. models_zoo/flagship_gomoku15); mutually exclusive "
+                   "with --checkpoint-dir")
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--game", default="gomoku")
     p.add_argument("--board-size", type=int, default=15)
@@ -76,10 +81,16 @@ def main(argv=None):
                    "replaying it with numpy (no onnx runtime in this image)")
     args = p.parse_args(argv)
 
-    step = export_from_checkpoint(
-        args.checkpoint_dir, args.output, args.game, args.board_size,
-        args.blocks, args.channels, args.step,
-    )
+    if (args.bundle is None) == (args.checkpoint_dir is None):
+        p.error("exactly one of --checkpoint-dir / --bundle is required")
+    if args.bundle is not None:
+        args.output = args.bundle
+        step = None
+    else:
+        step = export_from_checkpoint(
+            args.checkpoint_dir, args.output, args.game, args.board_size,
+            args.blocks, args.channels, args.step,
+        )
     out = {"bundle": args.output, "checkpoint_step": step}
     if args.torchscript:
         import jax

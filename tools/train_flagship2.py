@@ -104,16 +104,22 @@ def main():
     pipe = Pipeline(cfg)
     env = pipe.env
 
-    # Resume: round-4 final weights, fresh optimizer cycle.
-    _, start_params = load_model(start_bundle, env.observation_shape)
-    from alphazero_tpu.parallel import mesh as meshlib
+    if start_bundle == "scratch":
+        # From-scratch leg: keep the Pipeline's fresh init (one long,
+        # correctly-sized cosine over the whole run — the round-5 test of
+        # the "r4 plateau was the schedule" diagnosis).
+        pass
+    else:
+        # Resume: prior leg's weights, fresh optimizer cycle.
+        _, start_params = load_model(start_bundle, env.observation_shape)
+        from alphazero_tpu.parallel import mesh as meshlib
 
-    pipe.state = TrainState(
-        params=start_params,
-        opt_state=pipe.tx.init(start_params["params"]),
-        step=jnp.zeros((), jnp.int32),
-    )
-    pipe.state = meshlib.replicate(pipe.mesh, pipe.state)
+        pipe.state = TrainState(
+            params=start_params,
+            opt_state=pipe.tx.init(start_params["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        pipe.state = meshlib.replicate(pipe.mesh, pipe.state)
     model = pipe.model
 
     # ---- rating machinery ------------------------------------------------
@@ -205,6 +211,16 @@ def main():
         if step % eval_every == 0 or step == iters:
             name = f"it_{base_iter + step}"  # absolute numbering
             snapshots[name] = snap()
+            # Durability: persist every rated snapshot immediately (round-5
+            # lesson — /tmp bundles from earlier sessions were lost, making
+            # the rated nets unreproducible).
+            snap_dir = os.environ.get("FLAG2_SNAP_DIR",
+                                      "/tmp/flagship2_snaps")
+            os.makedirs(snap_dir, exist_ok=True)
+            from alphazero_tpu.models.io import save_model as _save
+
+            _save(os.path.join(snap_dir, name), snapshots[name],
+                  "resnet", env.num_actions, cfg.model)
             rate_snapshot(name, snapshots[name], prev_name,
                           snapshots[prev_name])
             # Every snapshot also plays the resume start for a dense column.
