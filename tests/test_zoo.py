@@ -1,0 +1,90 @@
+"""The committed model-zoo bundles are real trained nets.
+
+Loads every bundle in models_zoo/, runs the forward pass, and checks the
+tactical-competence floor (with a small search on top, as deployment
+would): take an immediate five-in-a-row win; block an opponent's simple
+four.  A random initialization fails these at better than chance, a
+trained flagship passes them — so the test pins that the committed
+weights are the trained ones, not a re-init.
+
+Reference analog: its packaged models are exercised through
+python/scripts/evaluate.py; there is no committed-weights test to port —
+this guards OUR reproducibility contract (models_zoo/README.md).
+"""
+import os
+
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+ZOO = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "models_zoo")
+FLAGSHIP = os.path.join(ZOO, "flagship_gomoku15")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(FLAGSHIP), reason="no committed flagship bundle"
+)
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    from alphazero_tpu.core import registry
+    from alphazero_tpu.models.io import load_model
+    from alphazero_tpu.models.resnet import make_inference_eval_fn
+
+    env = registry.create_game("gomoku", 15)
+    model, params = load_model(FLAGSHIP, env.observation_shape)
+    return env, make_inference_eval_fn(model, params)
+
+
+def _position(env, moves):
+    """Play ``moves`` [(row, col), ...] from the empty board; batch of 1."""
+    states = jax.vmap(lambda _: env.init())(jnp.arange(1))
+    for r, c in moves:
+        a = jnp.array([r * 15 + c], jnp.int32)
+        states = jax.vmap(env.step)(states, a)
+    return states
+
+
+def _search_action(env, eval_fn, states, sims=48):
+    from alphazero_tpu.mcts.search import MCTSConfig
+    from alphazero_tpu.selfplay.actor import SelfPlayConfig, move_once
+
+    cfg = SelfPlayConfig(
+        mcts=MCTSConfig(num_simulations=sims, dirichlet_epsilon=0.0),
+        temperature_drop_move=0,  # greedy
+    )
+    _, rec = move_once(env, eval_fn, states, jax.random.key(0), cfg)
+    return int(rec.action[0])
+
+
+def test_forward_finite(flagship):
+    env, eval_fn = flagship
+    states = _position(env, [(7, 7), (6, 6)])
+    obs = jax.vmap(env.observation)(states)
+    logits, value = eval_fn(obs, jax.vmap(env.to_play)(states))
+    assert bool(jnp.isfinite(logits).all()) and bool(
+        jnp.isfinite(value).all())
+    assert logits.shape == (1, env.num_actions)
+
+
+def test_takes_immediate_win(flagship):
+    env, eval_fn = flagship
+    # X has a simple four on row 7 (cols 3-6), (7,2) blocked; X to move.
+    states = _position(env, [
+        (7, 3), (7, 2), (7, 4), (0, 0), (7, 5), (1, 0), (7, 6), (2, 0),
+    ])
+    a = _search_action(env, eval_fn, states)
+    assert a == 7 * 15 + 7, f"expected the winning move (7,7), got {a}"
+
+
+def test_blocks_immediate_loss(flagship):
+    env, eval_fn = flagship
+    # X has a simple four on row 7 (cols 3-6), (7,2) blocked; O to move —
+    # (7,7) is the only move that doesn't lose on the spot.
+    states = _position(env, [
+        (7, 3), (7, 2), (7, 4), (0, 0), (7, 5), (1, 0), (7, 6),
+    ])
+    a = _search_action(env, eval_fn, states)
+    assert a == 7 * 15 + 7, f"expected the blocking move (7,7), got {a}"
