@@ -93,6 +93,7 @@ def main(argv=None):
         root_values=stacked.root_value,
         to_play=stacked.to_play,
         active=stacked.active,
+        ended_winner=stacked.ended_winner,
         winner=winner,
         length=stacked.active.sum(axis=0).astype(jnp.int32),
         move_states=None,

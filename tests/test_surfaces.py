@@ -258,3 +258,22 @@ class TestApiKeyAuth:
         )
         with urllib.request.urlopen(req) as resp:
             assert resp.status == 200
+
+
+class TestSelfPlayCLI:
+    def test_generates_records(self, tmp_path):
+        """End-to-end scripts/self_play.py main() — pins the
+        SelfPlayOutput construction (a round-5 regression added the
+        ended_winner field and the CLI's call site missed it)."""
+        from alphazero_tpu.scripts.self_play import main
+
+        out_dir = str(tmp_path / "games")
+        main([
+            "--game", "gomoku", "--board-size", "7", "--num-games", "2",
+            "--simulations", "4", "--max-moves", "4",
+            "--output-dir", out_dir, "--seed", "3",
+        ])
+        files = sorted(p.name for p in (tmp_path / "games").iterdir())
+        assert len(files) == 2
+        rec = json.load(open(tmp_path / "games" / files[0]))
+        assert rec["moves"], "record should contain moves"
