@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--output-dir", default="data/games")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--temperature-drop", type=int, default=30)
+    p.add_argument("--wave", type=int, default=16,
+                   help="virtual-loss descents per dispatched step sharing "
+                   "one NN batch (the reference's BATCHED mode; 16 is the "
+                   "production/bench default, see MCTSConfig.wave_size)")
     args = p.parse_args(argv)
 
     import jax
@@ -59,7 +63,8 @@ def main(argv=None):
         else 2 * env.board_size**2 if args.game == "go" else 512
     )
     config = SelfPlayConfig(
-        mcts=MCTSConfig(num_simulations=args.simulations),
+        mcts=MCTSConfig(num_simulations=args.simulations,
+                        wave_size=max(1, min(args.wave, args.simulations))),
         max_moves=max_moves,
         temperature_drop_move=args.temperature_drop,
     )
