@@ -71,10 +71,16 @@ def run_pipeline_script(body: str, tmp_path) -> None:
     # 40s rendezvous deadline even with the suite otherwise idle (each
     # collective party needs a core-resident thread; 4 parties on 2 cores
     # rely on preemption timing) — reproduced at a pre-round commit, so
-    # environmental, not a regression.  Never exceed the physical core
-    # count; wider sharding coverage lives in dryrun_multichip + the
+    # environmental, not a regression.  Round 5: even TWO parties on the
+    # 2-core box abort whenever anything sustained (a TPU training run's
+    # host loop, a concurrent suite) shares the cores — both retry
+    # attempts died.  On <=2-core hosts use ONE device: the pipeline's
+    # end-to-end logic is identical and there are no cross-device
+    # collectives left to race the deadline.  Never exceed the physical
+    # core count; wider sharding coverage lives in dryrun_multichip + the
     # sharded-equals-unsharded checks of test_parallel.py.
-    n_dev = max(2, min(4, os.cpu_count() or 2))
+    cores = os.cpu_count() or 2
+    n_dev = min(4, cores) if cores > 2 else 1
     flags = [f for f in env.get("XLA_FLAGS", "").split()
              if "host_platform_device_count" not in f]
     env["XLA_FLAGS"] = " ".join(
@@ -90,9 +96,18 @@ def run_pipeline_script(body: str, tmp_path) -> None:
             return
         # XLA:CPU's hardcoded 40s collective-rendezvous deadline aborts
         # under host CPU contention (module docstring) — an environmental
-        # SIGABRT, not a product failure.  Retry exactly that signature
-        # once; anything else fails immediately.
-        if attempt == 0 and "rendezvous" in (proc.stderr or ""):
+        # SIGABRT, not a product failure.  Retry that signature once:
+        # the rendezvous message when XLA prints it, or the bare
+        # SIGABRT/"Fatal Python error: Aborted" that faulthandler reduces
+        # it to.  Anything else fails immediately; a real product abort
+        # still fails on the retry.
+        stderr = proc.stderr or ""
+        environmental = (
+            "rendezvous" in stderr
+            or "Fatal Python error: Aborted" in stderr
+            or proc.returncode == -6
+        )
+        if attempt == 0 and environmental:
             continue
         break
     assert proc.returncode == 0, (
