@@ -88,3 +88,49 @@ def test_blocks_immediate_loss(flagship):
     ])
     a = _search_action(env, eval_fn, states)
     assert a == 7 * 15 + 7, f"expected the blocking move (7,7), got {a}"
+
+
+GO9 = os.path.join(ZOO, "go9")
+
+
+@pytest.mark.skipif(not os.path.exists(GO9), reason="no committed go9 bundle")
+class TestGo9Zoo:
+    @pytest.fixture(scope="class")
+    def go9(self):
+        from alphazero_tpu.core import registry
+        from alphazero_tpu.models.io import load_model
+        from alphazero_tpu.models.resnet import make_inference_eval_fn
+
+        env = registry.create_game("go", 9)
+        model, params = load_model(GO9, env.observation_shape)
+        return env, make_inference_eval_fn(model, params)
+
+    def test_forward_finite(self, go9):
+        env, eval_fn = go9
+        states = jax.vmap(lambda _: env.init())(jnp.arange(2))
+        obs = jax.vmap(env.observation)(states)
+        logits, value = eval_fn(obs, jax.vmap(env.to_play)(states))
+        assert bool(jnp.isfinite(logits).all()) and bool(
+            jnp.isfinite(value).all())
+        assert logits.shape == (2, env.num_actions)
+
+    def test_beats_uniform_at_equal_sims(self, go9):
+        """Strength floor: the committed net wins a small equal-sims match
+        against the uniform-MCTS anchor (on chip it went 48-0 at 128
+        sims; here 8 games at 16-vs-16 sims must take a clear majority —
+        a random init hovers near 50%)."""
+        env, eval_fn = go9
+        from alphazero_tpu.eval import anchors
+        from alphazero_tpu.eval.arena import play_match_sides
+        from alphazero_tpu.mcts.search import MCTSConfig
+
+        cand = (eval_fn, MCTSConfig(num_simulations=16,
+                                    dirichlet_epsilon=0.0))
+        res = play_match_sides(
+            env, cand, anchors.make_anchor(env, "uniform_mcts_16"),
+            jax.random.key(7), 8, max_moves=162, opening_random_moves=2,
+        )
+        assert int(res.wins_a) >= 6, (
+            f"trained go9 net should beat uniform_mcts_16: "
+            f"+{int(res.wins_a)} -{int(res.wins_b)} ={int(res.draws)}"
+        )
