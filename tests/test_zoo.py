@@ -134,3 +134,27 @@ class TestGo9Zoo:
             f"trained go9 net should beat uniform_mcts_16: "
             f"+{int(res.wins_a)} -{int(res.wins_b)} ={int(res.draws)}"
         )
+
+
+CHESS = os.path.join(ZOO, "chess_dev")
+
+
+@pytest.mark.skipif(not os.path.exists(CHESS),
+                    reason="no committed chess bundle")
+def test_chess_dev_forward_finite():
+    """chess_dev is a short-run demonstration net (models_zoo/README.md);
+    its strength evidence is chip-measured (docs/train_zoo_chess.json) —
+    CI only pins that the committed bundle loads and runs."""
+    from alphazero_tpu.core import registry
+    from alphazero_tpu.models.io import load_model
+    from alphazero_tpu.models.resnet import make_inference_eval_fn
+
+    env = registry.create_game("chess")
+    model, params = load_model(CHESS, env.observation_shape)
+    eval_fn = make_inference_eval_fn(model, params)
+    states = jax.vmap(lambda _: env.init())(jnp.arange(2))
+    obs = jax.vmap(env.observation)(states)
+    logits, value = eval_fn(obs, jax.vmap(env.to_play)(states))
+    assert bool(jnp.isfinite(logits).all()) and bool(
+        jnp.isfinite(value).all())
+    assert logits.shape == (2, env.num_actions)
